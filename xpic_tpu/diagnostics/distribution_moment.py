@@ -1,0 +1,123 @@
+"""DistributionMoment: particle->grid moment dumps.
+
+Reference: src/diagnostics/distribution_moment.cpp — deposits per-particle
+moment values with node-centered order-2 spline products weighted by
+n/Np, then dumps float32 binaries in the FieldView layout under
+``<out_dir>/<particles>/<moment><suffix>``.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Geometry
+from ..ops.binning import bin_sorted
+from ..ops.gather_scatter import cell_t, deposit_scalar
+from .field_view import format_time
+
+MOMENT_DOF = {
+    "density": 1,
+    "current": 3,
+    "momentum_flux": 6,
+    "momentum_flux_cyl": 6,
+    "momentum_flux_diag": 3,
+    "momentum_flux_diag_cyl": 3,
+}
+
+
+def _moment_values(name, params, r, p, Lx, Ly):
+    """Per-slot moment component values [G, K, dof]
+    (reference: distribution_moment.cpp:212-313)."""
+    if name == "density":
+        return jnp.ones(p.shape[:-1] + (1,), p.dtype)
+    if name == "current":
+        return params.q * p
+    m = params.m
+    if name == "momentum_flux":
+        comps = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+        return jnp.stack([m * p[..., a] * p[..., b] for a, b in comps], axis=-1)
+    if name == "momentum_flux_diag":
+        return m * p * p
+    # Cylindrical variants use the (r, phi, z) projection around the box axis.
+    x = r[..., 0] - 0.5 * Lx
+    y = r[..., 1] - 0.5 * Ly
+    rr = jnp.hypot(x, y)
+    safe = rr > 0
+    inv = jnp.where(safe, 1.0 / jnp.where(safe, rr, 1.0), 0.0)
+    vr = jnp.where(safe, (x * p[..., 0] + y * p[..., 1]) * inv, p[..., 0])
+    va = jnp.where(safe, (-y * p[..., 0] + x * p[..., 1]) * inv, p[..., 1])
+    vz = p[..., 2]
+    v = jnp.stack([vr, va, vz], axis=-1)
+    if name == "momentum_flux_cyl":
+        comps = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+        return jnp.stack([m * v[..., a] * v[..., b] for a, b in comps], axis=-1)
+    if name == "momentum_flux_diag_cyl":
+        return m * v * v
+    raise ValueError(f"unknown moment {name!r}")
+
+
+class DistributionMoment:
+    def __init__(self, simulation, species, moment: str, out_dir: str):
+        self.simulation = simulation
+        self.species = species
+        self.moment = moment
+        self.dof = MOMENT_DOF[moment]
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self._collect = self._make_collect()
+
+    @classmethod
+    def from_json(cls, simulation, info):
+        sp = simulation.get_named_particles(info["particles"])
+        moment = info["moment"]
+        if moment not in MOMENT_DOF:
+            raise ValueError(f"unknown moment name {moment!r}")
+        suffix = ""
+        if "region" in info and "suffix" in info["region"]:
+            suffix = "_" + info["region"]["suffix"]
+        out = os.path.join(
+            simulation.cfg.out_dir, sp.params.sort_name, moment + suffix
+        )
+        return cls(simulation, sp, moment, out)
+
+    def _make_collect(self):
+        geom = self.simulation.geom
+        params = self.species.params
+        moment = self.moment
+
+        @partial(jax.jit, static_argnames=("slots",))
+        def collect(arrays, slots: int):
+            binned = bin_sorted(arrays, geom, slots)
+            t = cell_t(geom, binned.r)
+            d = jnp.asarray(geom.cell_steps, binned.r.dtype)
+            vals = _moment_values(
+                moment, params, binned.r * d, binned.p, geom.Lx, geom.Ly
+            )
+            outs = []
+            for j in range(vals.shape[-1]):
+                outs.append(
+                    deposit_scalar(
+                        vals[..., j] * params.n_Np,
+                        t, binned.valid, geom, order=2, width=4, anchor=-1,
+                    )
+                )
+            return jnp.stack(outs, axis=-1)  # [nz, ny, nx, dof]
+
+        return collect
+
+    def diagnose(self, t: int) -> None:
+        sim = self.simulation
+        if t % sim.geom.diagnose_period != 0:
+            return
+        data = self._collect(self.species.arrays, max(self.species.slots, 8))
+        np.asarray(data, dtype=np.float32).tofile(
+            os.path.join(self.out_dir, format_time(t, sim.geom.nt))
+        )
+
+    def finalize(self) -> None:
+        pass

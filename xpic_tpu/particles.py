@@ -1,0 +1,187 @@
+"""Fixed-capacity structure-of-arrays particle storage.
+
+The reference stores particles as one ``std::list<Point>`` per owned cell
+(src/interfaces/particles.h:32) and migrates them between lists/ranks
+each step (src/interfaces/particles.cpp:79-248).  Linked lists are
+hostile to TPUs, so here a species is a pytree of dense arrays with a
+static capacity and an aliveness mask:
+
+* ``r``: [C, 3] positions (x, y, z) in c/w_pe;
+* ``p``: [C, 3] momenta/velocities [me c] (non-relativistic pushes treat
+  p as velocity, as the reference does, src/algorithms/boris_push.h:15);
+* ``alive``: [C] bool.
+
+"Migration" becomes recomputing flat cell ids and (optionally) a stable
+sort by cell, which keeps deposits segment-summable and deterministic.
+Capacity grows in buckets outside jit (injection commands run on host
+between steps, like the reference's StepPresets,
+src/interfaces/simulation.cpp:83-85), so jit caches stay warm until a
+bucket boundary is crossed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Geometry, SortParameters, PERIODIC
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ParticleArrays:
+    """One species' dynamic state (a jit-able pytree)."""
+
+    r: jax.Array  # [C, 3] float
+    p: jax.Array  # [C, 3] float
+    alive: jax.Array  # [C] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.r.shape[0]
+
+    def count(self) -> jax.Array:
+        return jnp.sum(self.alive)
+
+
+def make_empty(capacity: int, dtype=jnp.float64) -> ParticleArrays:
+    return ParticleArrays(
+        r=jnp.zeros((capacity, 3), dtype=dtype),
+        p=jnp.zeros((capacity, 3), dtype=dtype),
+        alive=jnp.zeros((capacity,), dtype=bool),
+    )
+
+
+def round_capacity(n: int, bucket: int = 256) -> int:
+    """Round a particle count up to a capacity bucket (>=1 bucket)."""
+    return max(bucket, ((n + bucket - 1) // bucket) * bucket)
+
+
+def from_numpy(r: np.ndarray, p: np.ndarray, capacity: int | None = None,
+               dtype=jnp.float64) -> ParticleArrays:
+    """Pack host-side particle data into a padded ParticleArrays."""
+    n = r.shape[0]
+    cap = capacity if capacity is not None else round_capacity(n)
+    rj = np.zeros((cap, 3), dtype=np.float64)
+    pj = np.zeros((cap, 3), dtype=np.float64)
+    alive = np.zeros((cap,), dtype=bool)
+    rj[:n] = r
+    pj[:n] = p
+    alive[:n] = True
+    return ParticleArrays(
+        r=jnp.asarray(rj, dtype=dtype),
+        p=jnp.asarray(pj, dtype=dtype),
+        alive=jnp.asarray(alive),
+    )
+
+
+def append(sp: ParticleArrays, r: np.ndarray, p: np.ndarray,
+           bucket: int = 256) -> ParticleArrays:
+    """Host-side append of new particles (used by Set/InjectParticles).
+
+    Fills dead slots first; grows capacity by whole buckets only when
+    needed so jit re-traces stay rare.
+    """
+    alive = np.array(sp.alive)
+    r_old = np.array(sp.r)
+    p_old = np.array(sp.p)
+    n_new = r.shape[0]
+    free = np.flatnonzero(~alive)
+    use = min(len(free), n_new)
+    if use:
+        idx = free[:use]
+        r_old[idx] = r[:use]
+        p_old[idx] = p[:use]
+        alive[idx] = True
+    rest = n_new - use
+    if rest > 0:
+        total = alive.shape[0] + rest
+        cap = round_capacity(total, bucket)
+        grow = cap - alive.shape[0]
+        r_old = np.concatenate([r_old, np.zeros((grow, 3))])
+        p_old = np.concatenate([p_old, np.zeros((grow, 3))])
+        alive = np.concatenate([alive, np.zeros((grow,), dtype=bool)])
+        r_old[-grow : -grow + rest] = r[use:]
+        p_old[-grow : -grow + rest] = p[use:]
+        alive[-grow : -grow + rest] = True
+    dtype = sp.r.dtype
+    return ParticleArrays(
+        r=jnp.asarray(r_old, dtype=dtype),
+        p=jnp.asarray(p_old, dtype=dtype),
+        alive=jnp.asarray(alive),
+    )
+
+
+def cell_coords(sp_r: jax.Array, geom: Geometry) -> jax.Array:
+    """Integer cell coordinates [C, 3] (x, y, z) via floor(r / d)."""
+    d = jnp.asarray([geom.dx, geom.dy, geom.dz], dtype=sp_r.dtype)
+    return jnp.floor(sp_r / d).astype(jnp.int32)
+
+
+def cell_ids(sp: ParticleArrays, geom: Geometry) -> jax.Array:
+    """Flat cell id per particle; dead particles map to the overflow
+    segment ``n_cells`` (so segment-sums drop them).
+
+    Flat id = (z * ny + y) * nx + x, matching the z-major array layout.
+    """
+    c = cell_coords(sp.r, geom)
+    cx = jnp.clip(c[:, 0], 0, geom.nx - 1)
+    cy = jnp.clip(c[:, 1], 0, geom.ny - 1)
+    cz = jnp.clip(c[:, 2], 0, geom.nz - 1)
+    flat = (cz * geom.ny + cy) * geom.nx + cx
+    return jnp.where(sp.alive, flat, geom.n_cells).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))
+def sort_by_cell(sp: ParticleArrays, geom: Geometry) -> ParticleArrays:
+    """Stable sort of the species by flat cell id (dead slots sink to the end).
+
+    This is the TPU replacement for ``update_cells_seq``
+    (src/interfaces/particles.cpp:79-112): after it, per-cell segments
+    are contiguous and deposits reduce with ``segment_sum``.
+    """
+    ids = cell_ids(sp, geom)
+    order = jnp.argsort(ids, stable=True)
+    return ParticleArrays(
+        r=sp.r[order], p=sp.p[order], alive=sp.alive[order]
+    )
+
+
+def apply_boundaries(sp: ParticleArrays, geom: Geometry) -> ParticleArrays:
+    """Apply global coordinate boundaries to all particles.
+
+    Periodic wrap mirrors ``g_bound_periodic`` and reflective walls
+    mirror ``g_bound_reflective`` (src/interfaces/point.cpp:3-26); the
+    reference treats non-periodic DMDA bounds as reflective only via
+    explicit commands, while stray particles are dropped — here
+    non-periodic axes clamp+reflect, which conserves the count.
+    """
+    L = jnp.asarray(geom.L, dtype=sp.r.dtype)
+    r = sp.r
+    p = sp.p
+    per = jnp.asarray([b == PERIODIC for b in geom.bounds])
+
+    # Single-pass wrap (reference adds/subtracts one period,
+    # point.cpp:19-25); fmod guards pathological large excursions.
+    r_wrapped = jnp.where(r < 0.0, r + L, jnp.where(r > L, r - L, r))
+    r_wrapped = jnp.clip(r_wrapped, 0.0, L)
+
+    below = r < 0.0
+    above = r > L
+    r_reflect = jnp.where(below, 0.0, jnp.where(above, L, r))
+    p_reflect = jnp.where(below | above, -p, p)
+
+    r_new = jnp.where(per[None, :], r_wrapped, r_reflect)
+    p_new = jnp.where(per[None, :], p, p_reflect)
+    return ParticleArrays(r=r_new, p=p_new, alive=sp.alive)
+
+
+def kinetic_energy(sp: ParticleArrays, params: SortParameters) -> jax.Array:
+    """Total kinetic energy 0.5 * m * mpw * sum p^2
+    (reference: Energy::get_kinetic, src/diagnostics/energy.cpp:215-218)."""
+    w = jnp.where(sp.alive, jnp.sum(sp.p * sp.p, axis=1), 0.0)
+    return 0.5 * params.m * params.n_Np * jnp.sum(w)

@@ -1,0 +1,58 @@
+"""Command-line entry point: ``python -m xpic_tpu config.json``.
+
+Mirrors src/main.cpp:9-40: parse config -> build simulation ->
+initialize -> calculate -> finalize, with the dimensionless-units banner
+of ``Simulation::log_information`` (src/interfaces/simulation.cpp:114-131).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import shutil
+import sys
+
+log = logging.getLogger("xpic")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="xpic_tpu", description="TPU-native particle-in-cell framework"
+    )
+    parser.add_argument("config", help="path to the JSON configuration file")
+    parser.add_argument("--quiet", action="store_true")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.WARNING if args.quiet else logging.INFO,
+        format="%(message)s",
+    )
+
+    from ..config import Config
+    from ..schemes import build_simulation
+
+    cfg = Config.from_file(args.config)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    shutil.copy(args.config, os.path.join(cfg.out_dir, "config.json"))
+
+    g = cfg.geometry
+    log.info("Note: Dimensionless units are used.")
+    log.info("Geometric constants for the current setup:")
+    log.info("  Lx = %.2f [c/w_pe], Nx = %d [dx], dx = %.2f", g.Lx, g.nx, g.dx)
+    log.info("  Ly = %.2f [c/w_pe], Ny = %d [dy], dy = %.2f", g.Ly, g.ny, g.dy)
+    log.info("  Lz = %.2f [c/w_pe], Nz = %d [dz], dz = %.2f", g.Lz, g.nz, g.dz)
+    log.info("  Lt = %.2f [1/w_pe], Nt = %d [dt], dt = %.2f", g.Lt, g.nt, g.dt)
+
+    simulation = build_simulation(cfg)
+    try:
+        simulation.initialize()
+        simulation.calculate()
+    finally:
+        simulation.finalize()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
