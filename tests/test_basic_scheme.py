@@ -112,5 +112,6 @@ def test_momentum_table_written(sim):
     )
     assert "N2dP" in header
     # Total momentum error balances the qE impulse to reasonable accuracy.
-    n2 = rows[:, header.index("N2dP_electrons")]
+    # (column titles truncate at 13 chars, as the reference's do)
+    n2 = rows[:, header.index("N2dP_electron")]
     assert np.all(n2 < 1e-4)

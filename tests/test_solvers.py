@@ -65,6 +65,6 @@ def test_anderson_nonlinear():
         return x + 0.1 * jnp.tanh(x) - c
 
     res = anderson_solve(residual, jnp.zeros(30), atol=1e-10, rtol=1e-10,
-                         maxit=100)
+                         stol=1e-14, maxit=100)
     assert res.converged
     np.testing.assert_allclose(np.asarray(residual(res.x)), 0.0, atol=1e-9)

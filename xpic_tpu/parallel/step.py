@@ -1,0 +1,93 @@
+"""Fused single-jit ECSIM step for compile checks and multi-chip dryruns.
+
+Composes the full semi-implicit timestep — drift, bin, mass-matrix
+assembly, GMRES field solve, Boris update, field advance — into one
+jitted function over (fields, particles), with optional sharding
+constraints so GSPMD partitions it over a mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Geometry
+from ..ops.binning import bin_sorted
+from ..ops.ecsim_blocks import (
+    apply_blocks,
+    assemble_blocks,
+    deposit_slots,
+    ecsim_particle_terms,
+    gather_slot_fields,
+    s1_slot_weights,
+)
+from ..ops.gather_scatter import B_STAGGER, cell_t, gather_vector
+from ..ops.stencil import curl_negative, curl_positive
+from ..particles import ParticleArrays, apply_boundaries, sort_by_cell
+from ..pushers import update_vEB
+from ..solvers import gmres
+
+
+@partial(jax.jit,
+         static_argnames=("geom", "slots", "q", "m", "mpw", "maxit"))
+def ecsim_step(E, B, B0, sp: ParticleArrays, geom: Geometry, slots: int,
+               q: float, m: float, mpw: float, maxit: int = 100):
+    """One full ECSIM timestep for a single species, fully fused."""
+    dt = geom.dt
+    steps, bounds = geom.cell_steps, geom.bounds
+
+    # first_push + rebin
+    sp = apply_boundaries(
+        ParticleArrays(r=sp.r + sp.p * dt, p=sp.p, alive=sp.alive), geom
+    )
+    ids = None
+    sp = _sort(sp, geom)
+    binned = bin_sorted(sp, geom, slots)
+    t = cell_t(geom, binned.r)
+    W = s1_slot_weights(t)
+
+    # fill currI + matL
+    B_p = gather_vector(B, t, binned.valid, geom, order=1, width=3, anchor=-1,
+                        stagger=B_STAGGER)
+    I_p, M = ecsim_particle_terms(B_p, binned.p, binned.valid,
+                                  q=q, m=m, mpw=mpw, dt=dt)
+    currI = deposit_slots(I_p, W, geom)
+    L = assemble_blocks(W, M)
+
+    # advance_fields
+    half_dt2 = 0.5 * dt * dt
+
+    def matA(x):
+        y = 2.0 * x + half_dt2 * curl_negative(
+            curl_positive(x, steps, bounds), steps, bounds
+        )
+        return y + apply_blocks(L, x, geom)
+
+    rhs = 2.0 * E - dt * currI + dt * curl_negative(B - B0, steps, bounds)
+    sol = gmres(matA, rhs, x0=E, rtol=1e-7, atol=1e-7, maxit=maxit)
+    Ep = sol.x
+
+    # second_push
+    E_p = gather_slot_fields(Ep, W, geom)
+    E_p = jnp.where(binned.valid[..., None], E_p, 0.0)
+    p1 = update_vEB(dt, q / m, binned.p, E_p, B_p)
+    p1 = jnp.where(binned.valid[..., None], p1, 0.0)
+    from ..ops.binning import scatter_back
+
+    p_new = scatter_back(binned, p1, sp.r.shape[0])
+    sp = ParticleArrays(r=sp.r, p=p_new, alive=sp.alive)
+
+    # final_update
+    E_new = 2.0 * Ep - E
+    B_new = B - dt * curl_positive(Ep, steps, bounds)
+    return E_new, B_new, sp, currI, sol.iterations
+
+
+def _sort(sp: ParticleArrays, geom: Geometry) -> ParticleArrays:
+    from ..particles import cell_ids
+
+    ids = cell_ids(sp, geom)
+    order = jnp.argsort(ids, stable=True)
+    return ParticleArrays(r=sp.r[order], p=sp.p[order], alive=sp.alive[order])

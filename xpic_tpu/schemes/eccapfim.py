@@ -1,6 +1,261 @@
-"""eccapfim scheme — implemented in a later milestone this round."""
+"""eccapfim: fully implicit, energy- and charge-conserving scheme.
+
+Reference: src/impls/eccapfim/{simulation,particles}.cpp.  Each step
+solves the nonlinear Maxwell system over E^{n+1/2} (the SNES NGMRES
+solve, eccapfim/simulation.cpp:69-104) where every residual evaluation
+re-integrates all particles from their start-of-step state with a
+Crank-Nicolson Picard iteration and deposits the path-averaged current
+(form_iteration, eccapfim/particles.cpp:30-180):
+
+    F(E_h) = E_h + dt^2/4 curl-(curl+(E_h)) - E^n
+             + dt/2 J(E_h) - dt/2 curl-(B^n)
+
+After convergence: E^{n+1} = 2 sol - E^n, B^{n+1} = B^n - dt curl+(sol).
+
+TPU redesign of the particle sweep:
+* particles binned once per step by their start-of-step cell
+  (``previous_storage`` analog, eccapfim/particles.h:28-30);
+* fields pre-gathered into per-cell 6^3 window blocks once per residual
+  evaluation; the Picard loop contracts weights against blocks
+  (no grid access inside the loop);
+* the reference's per-particle cell-traversal while loop
+  (cell_traversal.cpp) becomes a fixed 4-segment path split —
+  exact while per-axis displacement stays below one cell, which the
+  reference's own CFL guard assumes (simulation.tpp:68-77);
+* domain-boundary sub-stepping disappears: positions stay unwrapped
+  during the step (windows wrap via periodic rolls) and wrap once at
+  the end.
+
+Nonlinear solver: Anderson mixing (the algorithmic core of NGMRES) with
+atol=rtol=1e-7, maxit as configured (eccapfim/simulation.h:14-24).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Geometry
+from ..ops.binning import bin_sorted, scatter_back
+from ..ops.gather_scatter import cell_t
+from ..ops.implicit_esirkepov import (
+    MAXSEG,
+    deposit_J_implicit,
+    gather_B_implicit,
+    gather_E_implicit,
+    gather_window_blocks,
+    scatter_blocks,
+    split_segments,
+)
+from ..ops.stencil import curl_negative, curl_positive
+from ..particles import ParticleArrays, apply_boundaries
+from ..solvers import anderson_solve
+from .base import Simulation
+
+log = logging.getLogger("xpic")
+
+ATOL = 1e-7
+RTOL = 1e-7
+MAXIT = 1000
+CN_MAXIT = 30
+CN_TOL = 0.5 * ATOL
 
 
-class EccapfimSimulation:
-    def __init__(self, cfg):
-        raise NotImplementedError("eccapfim scheme: in progress")
+def _segment_fields(Eblk, Bblk, t0, tn):
+    """Path-averaged (E, B) over the cell-crossing segments
+    (eccapfim/particles.cpp:104-124): sum over segments of
+    length-fraction-weighted implicit-Esirkepov gathers."""
+    taus = split_segments(t0, tn)  # [G, K, MAXSEG+1]
+    d = tn - t0
+    E_p = 0.0
+    B_p = 0.0
+    for s in range(MAXSEG):
+        a = taus[..., s][..., None]
+        b = taus[..., s + 1][..., None]
+        seg0 = t0 + a * d
+        seg1 = t0 + b * d
+        bs = (b - a)  # = ds/|d| for a straight path
+        E_p = E_p + bs * gather_E_implicit(Eblk, seg0, seg1)
+        B_p = B_p + bs * gather_B_implicit(Bblk, 0.5 * (seg0 + seg1))
+    return E_p, B_p
+
+
+def _cn_sweep(Eblk, Bblk, t0, p0, valid, dt, qm, d_steps):
+    """Masked Crank-Nicolson Picard iteration for all particles at once
+    (eccapfim/particles.cpp:126-156).  Positions are in grid units
+    (t* = r/d, cell-relative handled upstream); velocities physical."""
+    v_over_d = p0 / d_steps
+
+    def fields(tn):
+        return _segment_fields(Eblk, Bblk, t0, tn)
+
+    tn0 = t0
+    E_p, B_p = fields(tn0)
+
+    def residue(pn, vh, E_p, B_p):
+        return jnp.linalg.norm(
+            (pn - p0) - dt * qm * (E_p + jnp.cross(vh, B_p)), axis=-1
+        )
+
+    res0 = residue(p0, p0, E_p, B_p)
+    target = CN_TOL + CN_TOL * res0
+    alpha = 0.5 * dt * qm
+
+    def body(state):
+        it, tn, pn, E_p, B_p, res, active = state
+        a = alpha * E_p
+        b = alpha * B_p
+        w = p0 + a
+        b2 = jnp.sum(b * b, axis=-1, keepdims=True)
+        vh = (w + jnp.cross(w, b) + b * jnp.sum(w * b, axis=-1, keepdims=True)) / (
+            1.0 + b2
+        )
+        m = active[..., None]
+        tn = jnp.where(m, t0 + (vh / d_steps) * dt, tn)
+        pn = jnp.where(m, 2.0 * vh - p0, pn)
+        E_n, B_n = fields(tn)
+        E_p = jnp.where(m, E_n, E_p)
+        B_p = jnp.where(m, B_n, B_p)
+        res_new = residue(pn, vh, E_p, B_p)
+        res = jnp.where(active, res_new, res)
+        done = res < target
+        return (it + 1, tn, pn, E_p, B_p, res, active & ~done)
+
+    def cond(state):
+        it, *_, active = state
+        return jnp.logical_and(jnp.any(active & valid), it < CN_MAXIT)
+
+    state = (
+        jnp.asarray(0, jnp.int32), tn0, p0, E_p, B_p, res0,
+        (res0 >= target) & valid,
+    )
+    it, tn, pn, E_p, B_p, res, active = jax.lax.while_loop(cond, body, state)
+    vh = 0.5 * (pn + p0)
+    return tn, pn, vh, it, active
+
+
+@partial(jax.jit,
+         static_argnames=("geom", "slots", "qm", "a0"))
+def _form_species(E_hk, B, sp_prev: ParticleArrays, geom: Geometry,
+                  slots: int, qm: float, a0: float):
+    """One species' contribution to J(E_hk) plus its updated state."""
+    binned = bin_sorted(sp_prev, geom, slots)
+    t0 = cell_t(geom, binned.r)
+    d_steps = jnp.asarray(geom.cell_steps, dtype=E_hk.dtype)
+
+    Eblk = gather_window_blocks(E_hk, geom)
+    Bblk = gather_window_blocks(B, geom)
+
+    tn, pn, vh, iters, nonconv = _cn_sweep(
+        Eblk, Bblk, t0, binned.p, binned.valid, geom.dt, qm, d_steps
+    )
+
+    # Deposit the path-averaged current of the *converged* move
+    # (eccapfim/particles.cpp:158-170): per segment, scale a0 * bs
+    # (dtau == dt, so dtau/dt == 1).
+    taus = split_segments(t0, tn)
+    dseg = tn - t0
+    Jblk = 0.0
+    valid_f = binned.valid.astype(E_hk.dtype)
+    for s in range(MAXSEG):
+        a = taus[..., s][..., None]
+        b = taus[..., s + 1][..., None]
+        seg0 = t0 + a * dseg
+        seg1 = t0 + b * dseg
+        bs = (b - a)[..., 0] * valid_f  # [G, K]
+        Jblk = Jblk + deposit_J_implicit(seg0, seg1, vh, a0 * bs)
+    J = scatter_blocks(Jblk, geom)
+
+    # New particle state in flat order (to commit after the solve).
+    # tn/t0 are cell-relative; absolute position = binned.r + (tn - t0).
+    r_new_g = (binned.r + (tn - t0)) * d_steps
+    n = sp_prev.r.shape[0]
+    r_flat = scatter_back(binned, r_new_g, n)
+    p_flat = scatter_back(binned, pn, n)
+    avg_it = jnp.asarray(iters, E_hk.dtype)
+    return J, r_flat, p_flat, avg_it, jnp.sum(nonconv)
+
+
+class EccapfimSimulation(Simulation):
+    scheme_name = "eccapfim"
+
+    def initialize_implementation(self) -> None:
+        self.phase_timings: dict[str, float] = {}
+        self.conv_history: list[float] = []
+
+    def _residual(self, E_hk):
+        """F(E_hk) for the nonlinear solve (form_function,
+        eccapfim/simulation.cpp:200-246, SNES_ITERATE_B == 0 branch)."""
+        geom = self.geom
+        J = jnp.zeros_like(self.J)
+        self._pending_state = []
+        for sp in self.species:
+            if sp.count() == 0:
+                self._pending_state.append(None)
+                continue
+            J_s, r_flat, p_flat, avg_it, nonconv = _form_species(
+                E_hk, self.B, sp.arrays, geom, sp.slots,
+                sp.params.qm, sp.params.q * sp.params.n_Np,
+            )
+            J = J + J_s
+            self._pending_state.append((r_flat, p_flat))
+            sp.cn_iterations = float(avg_it)
+        self._J_last = J
+
+        steps, bounds = geom.cell_steps, geom.bounds
+        F = (
+            E_hk
+            + 0.25 * geom.dt**2
+            * curl_negative(curl_positive(E_hk, steps, bounds), steps, bounds)
+            - self.E
+            + 0.5 * geom.dt * J
+            - 0.5 * geom.dt * curl_negative(self.B, steps, bounds)
+        )
+        return F
+
+    def timestep_implementation(self, t: int) -> None:
+        geom = self.geom
+        t0 = time.perf_counter()
+
+        # init_iteration: guess E^{n+1/2,0} = E^n
+        # (eccapfim/simulation.cpp:46-66).
+        result = anderson_solve(
+            self._residual, self.E, atol=ATOL, rtol=RTOL, maxit=MAXIT, m=10
+        )
+        self.conv_history = result.history
+        self.phase_timings["calc_iteration"] = time.perf_counter() - t0
+        if not result.converged:
+            raise RuntimeError(
+                f"eccapfim nonlinear solve did not converge: "
+                f"|F|={result.residual_norm:.3e} after {result.iterations} its"
+            )
+        log.info(
+            "  Nonlinear solve converged in %d iterations, |F|=%.3e",
+            result.iterations, result.residual_norm,
+        )
+
+        sol = result.x
+        # after_iteration (eccapfim/simulation.cpp:106-129)
+        self.E = 2.0 * sol - self.E
+        self.B = self.B - geom.dt * curl_positive(
+            sol, geom.cell_steps, geom.bounds
+        )
+        self.J = self._J_last
+
+        # Commit particle states from the last residual evaluation
+        # (evaluated at the converged solution) and wrap coordinates.
+        for sp, pending in zip(self.species, self._pending_state):
+            if pending is None:
+                sp.J = jnp.zeros_like(self.J)
+                continue
+            r_flat, p_flat = pending
+            sp.arrays = apply_boundaries(
+                ParticleArrays(r=r_flat, p=p_flat, alive=sp.arrays.alive), geom
+            )
+            sp.J = self._J_last
+        self.rebin_all()

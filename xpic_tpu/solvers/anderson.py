@@ -26,8 +26,8 @@ class NonlinearResult(NamedTuple):
 
 def anderson_solve(residual_fn: Callable, x0, *, m: int = 10,
                    atol: float = 1e-7, rtol: float = 1e-7,
-                   maxit: int = 1000, damping: float = 1.0,
-                   ) -> NonlinearResult:
+                   stol: float = 1e-7, maxit: int = 1000,
+                   damping: float = 1.0) -> NonlinearResult:
     """Solve F(x) = 0 by Anderson mixing of the fixed-point x - F(x).
 
     ``residual_fn(x) -> F(x)`` (same shape as x).  Runs as a host loop
@@ -77,9 +77,11 @@ def anderson_solve(residual_fn: Callable, x0, *, m: int = 10,
 
         if rnorm <= target:
             return NonlinearResult(x, it, rnorm, True, history)
-        # Stagnation guard (PETSc stol analog): relative step below stol.
+        # PETSc CONVERGED_SNORM_RELATIVE analog: a relative step below
+        # stol counts as converged (SNESSetTolerances stol, used by the
+        # reference at eccapfim/simulation.cpp:371).
         step = np.linalg.norm(xf - X_hist[-1])
-        if step <= 1e-7 * max(np.linalg.norm(xf), 1.0):
-            return NonlinearResult(x, it, rnorm, rnorm <= target, history)
+        if step <= stol * max(np.linalg.norm(xf), 1.0):
+            return NonlinearResult(x, it, rnorm, True, history)
 
     return NonlinearResult(x, maxit, history[-1], False, history)
