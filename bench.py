@@ -1,0 +1,95 @@
+"""Benchmark: ECSIM particle-push throughput on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: the fused ECSIM timestep (drift + bin + mass-matrix assembly +
+GMRES field solve + Boris update + field advance) on a 32^3 periodic
+grid with ~50 particles per cell — the reference's flagship
+semi-implicit path (src/impls/ecsim/) at a production-shaped size.
+
+The reference publishes no benchmark numbers (BASELINE.md), so
+``vs_baseline`` is the ratio against a fixed reference throughput of
+1e7 particle-steps/s/chip — a generous estimate of the per-core C++
+loop (the reference's OpenMP hot loops process particles at order
+1e6-1e7/s/core).  Precision: runs in float32 by default (the speed
+path); set BENCH_X64=1 for the float64 parity path.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XPIC_X64", "1" if os.environ.get("BENCH_X64") == "1" else "0")
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+BASELINE_PARTICLES_PER_S = 1.0e7
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax.numpy as jnp
+
+    from xpic_tpu.config import Geometry
+    from xpic_tpu.parallel.step import ecsim_step
+    from xpic_tpu.particles import ParticleArrays, sort_by_cell
+
+    n_side = int(os.environ.get("BENCH_GRID", "32"))
+    ppc = int(os.environ.get("BENCH_PPC", "50"))
+    geom = Geometry(dx=0.5, dy=0.5, dz=0.5, dt=1.5,
+                    nx=n_side, ny=n_side, nz=n_side, nt=1)
+
+    rng = np.random.default_rng(0)
+    n = geom.n_cells * ppc
+    r = rng.random((n, 3)) * np.array(geom.L)
+    # thermal velocities ~ T=0.1 keV electrons
+    p = rng.standard_normal((n, 3)) * 0.014
+    sp = ParticleArrays(
+        r=jnp.asarray(r, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32),
+        p=jnp.asarray(p, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32),
+        alive=jnp.ones(n, bool),
+    )
+    sp = sort_by_cell(sp, geom)
+    slots = max(8, int(ppc * 1.6) // 8 * 8)
+
+    shape = (3, geom.nz, geom.ny, geom.nx)
+    dtype = sp.r.dtype
+    E = jnp.zeros(shape, dtype)
+    B = jnp.zeros(shape, dtype)
+    B0 = jnp.zeros(shape, dtype)
+
+    def step(E, B, sp):
+        E2, B2, sp2, _, iters = ecsim_step(
+            E, B, B0, sp, geom, slots, q=-1.0, m=1.0, mpw=1.0 / ppc, maxit=100
+        )
+        return E2, B2, sp2, iters
+
+    # Warmup / compile
+    E1, B1, sp1, iters = step(E, B, sp)
+    jax.block_until_ready((E1, B1, sp1.r, sp1.p))
+
+    # Per-step blocking: this backend's async queue makes a single
+    # trailing block an unreliable fence.
+    reps = int(os.environ.get("BENCH_REPS", "10"))
+    Ec, Bc, spc = E1, B1, sp1
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        Ec, Bc, spc, iters = step(Ec, Bc, spc)
+        jax.block_until_ready((Ec, Bc, spc.r, spc.p))
+        times.append(time.perf_counter() - t0)
+    elapsed = float(np.median(times))
+
+    throughput = n / elapsed
+    print(json.dumps({
+        "metric": "ecsim_particle_push_throughput",
+        "value": throughput,
+        "unit": "particle-steps/s/chip",
+        "vs_baseline": throughput / BASELINE_PARTICLES_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""eccapfim end-to-end regression (small, the scheme is expensive).
+
+Mirrors tests/eccapfim/eccapfim_ex1.cpp's conservation intent on a
+reduced box: fully implicit scheme at dt far beyond the explicit CFL
+must conserve energy and charge to solver tolerance.
+"""
+
+import os
+
+import numpy as np
+
+from xpic_tpu.commands import particles_load
+from xpic_tpu.config import Config
+from xpic_tpu.schemes import build_simulation
+
+STEPS = 4
+
+
+def make_config(tmp_path):
+    doc = {
+        "Simulation": "eccapfim",
+        "OutputDirectory": str(tmp_path / "out_eccapfim"),
+        "Geometry": {
+            "x": 3.0, "y": 3.0, "z": 3.0, "t": STEPS * 1.0,
+            "dx": 0.5, "dy": 0.5, "dz": 0.5, "dt": 1.0,
+            "diagnose_period": STEPS,
+            "da_boundary_x": "DM_BOUNDARY_PERIODIC",
+            "da_boundary_y": "DM_BOUNDARY_PERIODIC",
+            "da_boundary_z": "DM_BOUNDARY_PERIODIC",
+        },
+        "Particles": [
+            {"sort_name": "electrons", "Np": 30, "n": 1.0, "q": -1.0,
+             "m": 1.0, "T": 0.1}
+        ],
+        "Presets": [
+            {
+                "command": "SetParticles",
+                "particles": "electrons",
+                "coordinate": {"name": "CoordinateInBox"},
+                "momentum": {"name": "MaxwellianMomentum", "tov": True},
+            }
+        ],
+        "Diagnostics": [],
+    }
+    return Config.from_json(doc)
+
+
+def read_table(path):
+    with open(path) as fh:
+        header = fh.readline().split()
+        rows = np.loadtxt(fh)
+    if rows.ndim == 1:
+        rows = rows[None, :]
+    return header, rows
+
+
+def test_eccapfim_conservation(tmp_path):
+    particles_load.seed(555)
+    cfg = make_config(tmp_path)
+    sim = build_simulation(cfg)
+    sim.initialize()
+    sim.calculate()
+    sim.finalize()
+
+    out = sim.cfg.out_dir
+    header, rows = read_table(
+        os.path.join(out, "temporal", "energy_conservation.txt")
+    )
+    total = rows[:, header.index("dE+dB+dK")]
+    dK = rows[:, header.index("dK_electrons")]
+    assert np.max(np.abs(dK[1:])) > 1e-8, "no dynamics happened"
+    # Energy conservation limited by the nonlinear solve tolerance 1e-7
+    # (the reference quotes the same budget, eccapfim/simulation.h:14-18).
+    assert np.all(np.abs(total[1:]) < 2e-6)
+
+    ch, crows = read_table(
+        os.path.join(out, "temporal", "charge_conservation.txt")
+    )
+    n2 = crows[:, ch.index("N2dQ_tot")]
+    # Path-split implicit Esirkepov conserves charge to roundoff.
+    assert np.all(n2 < 1e-9)

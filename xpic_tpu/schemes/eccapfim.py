@@ -188,6 +188,14 @@ class EccapfimSimulation(Simulation):
         self.phase_timings: dict[str, float] = {}
         self.conv_history: list[float] = []
 
+    def initialize(self) -> None:
+        super().initialize()
+        # Auto-append the scheme's ConvergenceHistory table
+        # (eccapfim/simulation.cpp:29).
+        from ..diagnostics.convergence_history import ConvergenceHistory
+
+        self.diagnostics.append(ConvergenceHistory(self))
+
     def _residual(self, E_hk):
         """F(E_hk) for the nonlinear solve (form_function,
         eccapfim/simulation.cpp:200-246, SNES_ITERATE_B == 0 branch)."""

@@ -92,13 +92,27 @@ def _matA(L, geom: Geometry):
 @partial(jax.jit, static_argnames=("geom",))
 def _advance_fields(E, B, B0, currI, L, geom: Geometry):
     """rhs = 2 E - dt currI + dt curl-(B - B0); solve matA Ep = rhs
-    (ecsim/simulation.cpp:191-278)."""
+    (ecsim/simulation.cpp:191-278).
+
+    Left-preconditioned by the exact spectral inverse of
+    matM + mean(diag matL) I (solvers/spectral.py) — the TPU-native
+    replacement for PETSc's algebraic preconditioners.
+    """
+    from ..solvers.spectral import make_matM_preconditioner
+
     rhs = (
         2.0 * E
         - geom.dt * currI
         + geom.dt * curl_negative(B - B0, geom.cell_steps, geom.bounds)
     )
-    res = gmres(_matA(L, geom), rhs, x0=E, rtol=RTOL, atol=ATOL, maxit=MAXIT)
+    P = make_matM_preconditioner(geom, geom.dt, dtype=E.dtype)
+    M_inv = None
+    if P is not None:
+        # mean diagonal of matL over all grid unknowns (3 per cell)
+        shift = jnp.einsum("gcici->", L) / (3.0 * geom.n_cells)
+        M_inv = lambda v: P(v, shift)  # noqa: E731
+    res = gmres(_matA(L, geom), rhs, x0=E, rtol=RTOL, atol=ATOL, maxit=MAXIT,
+                M_inv=M_inv)
     return res.x, res.iterations, res.residual_norm, res.converged
 
 

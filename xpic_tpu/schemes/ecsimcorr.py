@@ -120,7 +120,13 @@ def _correct_fields(E, B, B0, currJe, geom: Geometry):
         2.0 * E - geom.dt * currJe
         + geom.dt * curl_negative(B - B0, steps, bounds)
     )
-    res = cg(matM, rhs, x0=E, rtol=RTOL, atol=ATOL, maxit=MAXIT)
+    from ..solvers.spectral import make_matM_preconditioner
+
+    P = make_matM_preconditioner(geom, geom.dt, dtype=E.dtype)
+    M_inv = (lambda v: P(v, 0.0)) if P is not None else None
+    # With the exact spectral inverse this converges in one iteration;
+    # CG still verifies the true-residual tolerance.
+    res = cg(matM, rhs, x0=E, rtol=RTOL, atol=ATOL, maxit=MAXIT, M_inv=M_inv)
     return res.x, res.iterations, res.residual_norm, res.converged
 
 

@@ -35,34 +35,41 @@ def _dot(a, b):
 
 
 def cg(matvec: Callable, b, x0=None, *, rtol: float = 1e-7,
-       atol: float = 1e-7, maxit: int = 100) -> KrylovResult:
-    """Preconditioner-free conjugate gradient for SPD operators.
+       atol: float = 1e-7, maxit: int = 100, M_inv: Callable | None = None
+       ) -> KrylovResult:
+    """(Preconditioned) conjugate gradient for SPD operators.
 
     Used for the ecsimcorr ``correct`` solve on the constant SPD matrix
-    matM = 2I + 0.5 dt^2 rotB rotE (src/impls/ecsimcorr/simulation.cpp:118-133).
+    matM = 2I + 0.5 dt^2 rotB rotE (src/impls/ecsimcorr/simulation.cpp:118-133),
+    with the exact spectral inverse of matM available as ``M_inv``.
+    Convergence is tested on the true residual 2-norm.
     """
     x0 = jnp.zeros_like(b) if x0 is None else x0
+    if M_inv is None:
+        M_inv = lambda r: r  # noqa: E731
     r0 = b - matvec(x0)
+    z0 = M_inv(r0)
     target = jnp.maximum(rtol * jnp.sqrt(_dot(b, b)), atol)
 
     def body(state):
-        x, r, p, rs, it, _ = state
+        x, r, z, p, rz, it, _ = state
         Ap = matvec(p)
-        alpha = rs / _dot(p, Ap)
+        alpha = rz / _dot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        rs_new = _dot(r, r)
-        beta = rs_new / rs
-        p = r + beta * p
-        return (x, r, p, rs_new, it + 1, jnp.sqrt(rs_new))
+        z = M_inv(r)
+        rz_new = _dot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, p, rz_new, it + 1, jnp.sqrt(_dot(r, r)))
 
     def cond(state):
         *_, it, rnorm = state
         return jnp.logical_and(rnorm > target, it < maxit)
 
-    rs0 = _dot(r0, r0)
-    state = (x0, r0, r0, rs0, jnp.asarray(0), jnp.sqrt(rs0))
-    x, r, p, rs, it, rnorm = jax.lax.while_loop(cond, body, state)
+    state = (x0, r0, z0, z0, _dot(r0, z0), jnp.asarray(0),
+             jnp.sqrt(_dot(r0, r0)))
+    x, r, z, p, rz, it, rnorm = jax.lax.while_loop(cond, body, state)
     return KrylovResult(x, it, rnorm, rnorm <= target)
 
 
@@ -102,10 +109,13 @@ def _gmres_cycle(matvec, b, x0, m, target):
 
     V, H = jax.lax.fori_loop(0, m, arnoldi_step, (V, H))
 
-    # Solve the (m+1) x m least-squares min ||beta e1 - H y|| by normal
-    # equations on the small Hessenberg system (m is small and static).
+    # Solve the (m+1) x m least-squares min ||beta e1 - H y|| via the
+    # normal equations of the small Hessenberg system — m is tiny and
+    # static, and H^T H is well-conditioned at restart lengths ~30
+    # (avoids jnp.linalg.lstsq's SVD, which is slow on TPU).
     e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
-    y = jnp.linalg.lstsq(H, e1)[0]
+    HtH = H.T @ H + 1e-30 * jnp.eye(m, dtype=dtype)
+    y = jnp.linalg.solve(HtH, H.T @ e1)
     dx = jnp.tensordot(y, V[:m], axes=1)
     x = x0 + dx
     r = b - matvec(x)
@@ -113,28 +123,36 @@ def _gmres_cycle(matvec, b, x0, m, target):
 
 
 def gmres(matvec: Callable, b, x0=None, *, rtol: float = 1e-7,
-          atol: float = 1e-7, maxit: int = 100, restart: int = 30
-          ) -> KrylovResult:
+          atol: float = 1e-7, maxit: int = 100, restart: int = 30,
+          M_inv: Callable | None = None) -> KrylovResult:
     """Restarted GMRES for the nonsymmetric ECSIM operator
     matA = matL + matM (src/impls/ecsim/simulation.cpp:191-208).
 
-    ``maxit`` counts total inner iterations, as PETSc's does.
+    ``maxit`` counts total inner iterations, as PETSc's does.  With
+    ``M_inv`` the solve is left-preconditioned (PETSc's default side)
+    and convergence is tested on the preconditioned residual norm —
+    also PETSc's default (KSP_NORM_PRECONDITIONED).
     """
     x0 = jnp.zeros_like(b) if x0 is None else x0
-    bnorm = jnp.sqrt(_dot(b, b))
+    if M_inv is not None:
+        inner = lambda v: M_inv(matvec(v))  # noqa: E731
+        b_eff = M_inv(b)
+    else:
+        inner = matvec
+        b_eff = b
+    bnorm = jnp.sqrt(_dot(b_eff, b_eff))
     target = jnp.maximum(rtol * bnorm, atol)
-    n_cycles = max(1, -(-maxit // restart))
 
     def body(state):
         x, it, rnorm = state
-        x, rnorm = _gmres_cycle(matvec, b, x, restart, target)
+        x, rnorm = _gmres_cycle(inner, b_eff, x, restart, target)
         return (x, it + restart, rnorm)
 
     def cond(state):
         _, it, rnorm = state
         return jnp.logical_and(rnorm > target, it < maxit)
 
-    r0 = b - matvec(x0)
+    r0 = b_eff - inner(x0)
     state = (x0, jnp.asarray(0), jnp.sqrt(_dot(r0, r0)))
     x, it, rnorm = jax.lax.while_loop(cond, body, state)
     return KrylovResult(x, it, rnorm, rnorm <= target)
