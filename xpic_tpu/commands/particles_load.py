@@ -30,6 +30,33 @@ def rng() -> np.random.Generator:
     return _rng
 
 
+def use_reference_rng(seed_value: int | None = None) -> None:
+    """Switch the shared stream to the reference's exact mt19937 +
+    libstdc++ uniform_real_distribution bit stream (native library;
+    reference: src/utils/random_generator.h).  With
+    :func:`set_particles_interleaved` draws this reproduces the
+    reference's initial particle data bit-for-bit."""
+    global _rng
+    from ..runtime.native import ReferenceRng
+
+    class _Adapter:
+        def __init__(self):
+            self._r = ReferenceRng(seed_value)
+
+        def random(self, size=None):
+            if size is None:
+                return self._r.uniform(1)[0]
+            n = int(np.prod(size))
+            return self._r.uniform(n).reshape(size)
+
+        def standard_normal(self, size=None):  # pragma: no cover
+            raise NotImplementedError(
+                "reference stream provides uniforms only"
+            )
+
+    _rng = _Adapter()
+
+
 # -- geometries (src/utils/geometries.h:7-52) ------------------------------
 
 
@@ -250,6 +277,49 @@ class AngularMomentum:
         out[:, 2] = pr.pz
         out += tm
         return out
+
+
+def generate_interleaved(coord_gen, mom_gen, n: int,
+                         sin_first: bool = True):
+    """Draw coordinates+momenta in the reference's per-particle order.
+
+    The reference loop (src/commands/set_particles.cpp:28-40) draws, for
+    each particle in turn, 3 coordinate uniforms then 6 momentum
+    uniforms (2 per axis: the sin() phase and the temperature modulus,
+    src/utils/particles_load.cpp:114-133).  Vectorized generators
+    consume the stream in column blocks instead, so bit-parity with the
+    reference additionally needs this interleaved driver.  ``sin_first``
+    selects the operand evaluation order of the reference's
+    ``sin(2 pi u1) * temperature_momentum(u2)`` product (unspecified in
+    C++; both orders are provided).
+    """
+    supported = isinstance(coord_gen, CoordinateInBox) and isinstance(
+        mom_gen, (MaxwellianMomentum,)
+    )
+    if not supported:
+        coords = coord_gen(n)
+        return coords, mom_gen(coords)
+
+    u = _rng.random((n, 9))
+    box = coord_gen.box
+    coords = box.min + u[:, 0:3] * (box.max - box.min)
+
+    pr = mom_gen.params
+    out = np.empty((n, 3))
+    for a, (p0, T) in enumerate([(pr.px, pr.Tx), (pr.py, pr.Ty),
+                                 (pr.pz, pr.Tz)]):
+        u1 = u[:, 3 + 2 * a]
+        u2 = u[:, 4 + 2 * a]
+        if not sin_first:
+            u1, u2 = u2, u1
+        mod = np.sqrt(
+            -2.0 * (T * pr.m / MEC2_KEV)
+            * np.log(np.where(u2 == 0.0, np.finfo(np.float64).tiny, u2))
+        )
+        out[:, a] = p0 + np.sin(2.0 * math.pi * u1) * mod
+    if mom_gen.tov:
+        out /= np.sqrt(pr.m**2 + np.sum(out**2, axis=1))[:, None]
+    return coords, out
 
 
 def build_coordinate(info: Mapping[str, Any], params: SortParameters, units):

@@ -32,8 +32,18 @@ class SetParticles:
         return cls(sp, n, gen_c, gen_m)
 
     def execute(self, t: int) -> None:
-        coords = self.gen_coordinate(self.n)
-        moms = self.gen_momentum(coords)
+        import os
+
+        if os.environ.get("XPIC_RNG") == "reference":
+            from .particles_load import generate_interleaved
+
+            coords, moms = generate_interleaved(
+                self.gen_coordinate, self.gen_momentum, self.n,
+                sin_first=os.environ.get("XPIC_RNG_ORDER", "sin") == "sin",
+            )
+        else:
+            coords = self.gen_coordinate(self.n)
+            moms = self.gen_momentum(coords)
         before = kinetic_energy(self.species.arrays, self.species.params)
         self.species.arrays = P.append(self.species.arrays, coords, moms)
         after = kinetic_energy(self.species.arrays, self.species.params)

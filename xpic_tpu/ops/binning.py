@@ -73,8 +73,16 @@ def bin_sorted(sp: ParticleArrays, geom: Geometry, slots: int) -> BinnedSpecies:
     """
     n = sp.r.shape[0]
     ids = cell_ids(sp, geom)  # sorted; dead -> n_cells
-    first = jnp.searchsorted(ids, ids, side="left")
-    slot = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    # Slot within the cell segment: distance to the segment's first
+    # element, via a running max over segment-start positions (a
+    # vectorized scan — much faster on TPU than a searchsorted binary
+    # search, which costs log(n) serialized gather rounds).
+    arange = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), ids[1:] != ids[:-1]]
+    )
+    first = jax.lax.cummax(jnp.where(is_start, arange, jnp.int32(-1)))
+    slot = arange - first
 
     in_range = (ids < geom.n_cells) & (slot < slots)
     dest = jnp.where(in_range, ids * slots + slot, geom.n_cells * slots)

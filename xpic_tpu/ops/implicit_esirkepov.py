@@ -188,6 +188,17 @@ def gather_B_implicit(Bblk, th):
     return jnp.stack(comps, axis=-1)
 
 
+def gather_dk_fields(Eblk, Bblk, gradBblk, t0, tn):
+    """Drift-kinetic variant (reference: src/algorithms/drift_kinetic_implicit.cpp):
+    path-averaged E via the implicit-Esirkepov kernel plus B and a
+    precomputed |B|-gradient field gathered with magnetic staggering at
+    the new position ``tn``."""
+    E_p = gather_E_implicit(Eblk, t0, tn)
+    B_p = gather_B_implicit(Bblk, tn)
+    gradB_p = gather_B_implicit(gradBblk, tn)
+    return E_p, B_p, gradB_p
+
+
 def split_segments(t0, tn):
     """Split the straight move t0 -> tn (cell-relative, grid units) at
     node-cell faces (half-integer planes).

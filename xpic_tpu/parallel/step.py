@@ -105,3 +105,29 @@ def _sort(sp: ParticleArrays, geom: Geometry) -> ParticleArrays:
     ids = cell_ids(sp, geom)
     order = jnp.argsort(ids, stable=True)
     return ParticleArrays(r=sp.r[order], p=sp.p[order], alive=sp.alive[order])
+
+
+@partial(jax.jit,
+         static_argnames=("geom", "slots", "q", "m", "mpw", "maxit",
+                          "n_steps"))
+def ecsim_multi_step(E, B, B0, sp: ParticleArrays, geom: Geometry,
+                     slots: int, q: float, m: float, mpw: float,
+                     maxit: int = 100, n_steps: int = 10):
+    """``n_steps`` fused ECSIM timesteps under one jit (lax.scan).
+
+    The production driver steps from the host for diagnostics cadence;
+    this path measures/runs pure device throughput with no per-step
+    dispatch or host fence (useful on backends with high dispatch
+    latency, and the template for long diagnostic-free stretches).
+    Returns the final state and the per-step KSP iteration counts.
+    """
+
+    def body(carry, _):
+        E, B, sp = carry
+        E2, B2, sp2, _, iters = ecsim_step(
+            E, B, B0, sp, geom, slots, q=q, m=m, mpw=mpw, maxit=maxit
+        )
+        return (E2, B2, sp2), iters
+
+    (E, B, sp), iters = jax.lax.scan(body, (E, B, sp), None, length=n_steps)
+    return E, B, sp, iters

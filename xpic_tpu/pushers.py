@@ -67,7 +67,9 @@ def update_vM(dt, qm, p, B):
     """
     t = _theta(dt, qm, B)
     s, c = jnp.sin(t), jnp.cos(t)
-    renorm = jax.lax.rsqrt(s * s + c * c)
+    # exact sqrt/divide (lax.rsqrt is an approximate TPU instruction and
+    # would leak ~5e-15 of energy per step)
+    renorm = 1.0 / jnp.sqrt(s * s + c * c)
     return _rotate(p, B, s * renorm, c * renorm)
 
 

@@ -23,6 +23,12 @@ def main(argv=None) -> int:
     )
     parser.add_argument("config", help="path to the JSON configuration file")
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument(
+        "--set", action="append", default=[], metavar="PATH=JSON",
+        help="override a config entry, e.g. --set Geometry.t=30 "
+             "--set Simulation='\"ecsim\"' (the runtime-tuning analog of "
+             "the reference's PETSc command-line options)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -33,7 +39,25 @@ def main(argv=None) -> int:
     from ..config import Config
     from ..schemes import build_simulation
 
-    cfg = Config.from_file(args.config)
+    with open(args.config) as fh:
+        doc = json.load(fh)
+    for override in args.set:
+        path, _, raw = override.partition("=")
+        try:
+            value = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        node = doc
+        keys = path.split(".")
+        for key in keys[:-1]:
+            node = node.setdefault(key, {})
+        node[keys[-1]] = value
+    cfg = Config.from_json(doc)
+    if os.environ.get("XPIC_RNG") == "reference":
+        from ..commands.particles_load import use_reference_rng
+
+        use_reference_rng()
+        log.info("Using the reference's exact mt19937 random stream")
     os.makedirs(cfg.out_dir, exist_ok=True)
     shutil.copy(args.config, os.path.join(cfg.out_dir, "config.json"))
 

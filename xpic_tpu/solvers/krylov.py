@@ -21,6 +21,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class KrylovResult(NamedTuple):
@@ -74,52 +75,86 @@ def cg(matvec: Callable, b, x0=None, *, rtol: float = 1e-7,
 
 
 def _gmres_cycle(matvec, b, x0, m, target):
-    """One GMRES(m) cycle; returns updated x and residual norm."""
+    """One GMRES(m) cycle with Givens-rotation QR; returns (x, rnorm, j).
+
+    Standard incremental least squares: each Arnoldi column is rotated
+    into upper-triangular form and the residual norm is |g[j+1]| for
+    free, so the inner loop exits as soon as the target is met and a
+    happy breakdown (lucky exact solve) is handled without forming the
+    (possibly singular) normal equations.
+    """
     dtype = b.dtype
     shape = b.shape
-    n_flat = b.size
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny * 1e4, dtype)
 
     r0 = b - matvec(x0)
     beta = jnp.sqrt(_dot(r0, r0))
 
-    # Krylov basis as [m+1, ...] stacked array.
     V = jnp.zeros((m + 1,) + shape, dtype)
-    V = V.at[0].set(r0 / jnp.maximum(beta, 1e-300))
-    H = jnp.zeros((m + 1, m), dtype)
+    V = V.at[0].set(r0 / jnp.maximum(beta, tiny))
+    R = jnp.zeros((m, m), dtype)  # upper-triangular factor
+    g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+    cs = jnp.zeros(m, dtype)
+    sn = jnp.zeros(m, dtype)
 
-    def arnoldi_step(j, carry):
-        V, H = carry
+    def body(state):
+        j, V, R, g, cs, sn, _ = state
         w = matvec(V[j])
 
-        # Modified Gram-Schmidt against all basis vectors (masked to <= j).
+        # Modified Gram-Schmidt against basis vectors <= j.
         def mgs(i, wh):
-            w, H = wh
-            hij = _dot(V[i], w)
-            use = i <= j
-            hij = jnp.where(use, hij, 0.0)
+            w, h = wh
+            hij = jnp.where(i <= j, _dot(V[i], w), 0.0)
             w = w - hij * V[i]
-            H = H.at[i, j].set(hij)
-            return (w, H)
+            h = h.at[i].set(hij)
+            return (w, h)
 
-        w, H = jax.lax.fori_loop(0, m + 1, mgs, (w, H))
+        w, h = jax.lax.fori_loop(0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype)))
         hnorm = jnp.sqrt(_dot(w, w))
-        H = H.at[j + 1, j].set(hnorm)
-        V = V.at[j + 1].set(w / jnp.maximum(hnorm, 1e-300))
-        return (V, H)
+        V = V.at[j + 1].set(w / jnp.maximum(hnorm, tiny))
 
-    V, H = jax.lax.fori_loop(0, m, arnoldi_step, (V, H))
+        # Apply accumulated rotations to the new column.
+        def rot(i, h):
+            hi = jnp.where(i < j, cs[i] * h[i] + sn[i] * h[i + 1], h[i])
+            hip = jnp.where(i < j, -sn[i] * h[i] + cs[i] * h[i + 1], h[i + 1])
+            return h.at[i].set(hi).at[i + 1].set(hip)
 
-    # Solve the (m+1) x m least-squares min ||beta e1 - H y|| via the
-    # normal equations of the small Hessenberg system — m is tiny and
-    # static, and H^T H is well-conditioned at restart lengths ~30
-    # (avoids jnp.linalg.lstsq's SVD, which is slow on TPU).
-    e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
-    HtH = H.T @ H + 1e-30 * jnp.eye(m, dtype=dtype)
-    y = jnp.linalg.solve(HtH, H.T @ e1)
-    dx = jnp.tensordot(y, V[:m], axes=1)
-    x = x0 + dx
-    r = b - matvec(x)
-    return x, jnp.sqrt(_dot(r, r))
+        h = h.at[j + 1].set(hnorm)
+        h = jax.lax.fori_loop(0, m, rot, h)
+
+        # New rotation to annihilate h[j+1].
+        denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+        safe = jnp.maximum(denom, tiny)
+        c = jnp.where(denom > tiny, h[j] / safe, 1.0)
+        s = jnp.where(denom > tiny, h[j + 1] / safe, 0.0)
+        cs = cs.at[j].set(c)
+        sn = sn.at[j].set(s)
+        h = h.at[j].set(c * h[j] + s * h[j + 1]).at[j + 1].set(0.0)
+
+        R = R.at[:, j].set(h[:m])
+        gj = g[j]
+        g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
+        rnorm = jnp.abs(g[j + 1])
+        return (j + 1, V, R, g, cs, sn, rnorm)
+
+    def cond(state):
+        j, *_, rnorm = state
+        return jnp.logical_and(j < m, rnorm > target)
+
+    state = (jnp.asarray(0), V, R, g, cs, sn, beta)
+    j, V, R, g, cs, sn, rnorm = jax.lax.while_loop(cond, body, state)
+
+    # Back substitution on the leading j x j block (masked to size m).
+    def back(i_rev, y):
+        i = m - 1 - i_rev
+        active = i < j
+        num = g[i] - jnp.dot(R[i], y)
+        diag = jnp.where(jnp.abs(R[i, i]) > tiny, R[i, i], 1.0)
+        return y.at[i].set(jnp.where(active, num / diag, 0.0))
+
+    y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dtype))
+    x = x0 + jnp.tensordot(y, V[:m], axes=1)
+    return x, rnorm, j
 
 
 def gmres(matvec: Callable, b, x0=None, *, rtol: float = 1e-7,
@@ -145,8 +180,8 @@ def gmres(matvec: Callable, b, x0=None, *, rtol: float = 1e-7,
 
     def body(state):
         x, it, rnorm = state
-        x, rnorm = _gmres_cycle(inner, b_eff, x, restart, target)
-        return (x, it + restart, rnorm)
+        x, rnorm, j = _gmres_cycle(inner, b_eff, x, restart, target)
+        return (x, it + j, rnorm)
 
     def cond(state):
         _, it, rnorm = state
