@@ -9,6 +9,16 @@ under ``mpiexec -np 2``): here the same jitted code runs on a simulated
 import os
 import sys
 
+# The axon sitecustomize (PYTHONPATH=.axon_site) initializes the JAX
+# backend at interpreter startup, which locks the CPU device count to 1
+# before any XLA_FLAGS/jax config can take effect.  Re-exec the test
+# run without it so the 8-virtual-device mesh is available.
+# NOTE: under the axon sitecustomize (PYTHONPATH=.axon_site) the JAX
+# backend is initialized at interpreter startup, locking the CPU device
+# count to 1 — multi-device tests then skip.  Run
+# ``tests/run_multidevice.sh`` (or ``env -u PYTHONPATH pytest ...``) to
+# get the full 8-virtual-device mesh.
+
 # Force CPU even when the session environment pins another platform
 # (e.g. JAX_PLATFORMS=axon for the tunneled TPU).
 os.environ["JAX_PLATFORMS"] = "cpu"

@@ -19,13 +19,20 @@ QM = -1.0  # electron-like
 
 
 def run_rotation(update, dt, steps=1000):
+    import jax
+
     p = jnp.asarray([[0.0, 0.5, 0.1]])
     B = jnp.asarray([[0.0, 0.0, B0]])
-    traj = []
-    for _ in range(steps):
-        p = update(dt, QM, p, B)
-        traj.append(np.asarray(p)[0])
-    return np.asarray(traj)
+
+    @jax.jit
+    def sweep(p):
+        def body(p, _):
+            p = update(dt, QM, p, B)
+            return p, p[0]
+
+        return jax.lax.scan(body, p, None, length=steps)[1]
+
+    return np.asarray(sweep(p))
 
 
 @pytest.mark.parametrize("name", ["M", "B", "C1", "C2"])
@@ -103,16 +110,23 @@ def test_vEB_pure_E_acceleration():
 
 def test_exb_drift():
     """Crossed fields produce the E x B drift on average."""
+    import jax
+
     dt = 0.05
     E = jnp.asarray([[0.0, 0.1, 0.0]])
     B = jnp.asarray([[0.0, 0.0, 1.0]])
-    p = jnp.asarray([[0.1, 0.0, 0.0]])
+    p0 = jnp.asarray([[0.1, 0.0, 0.0]])
     drift = np.array([0.1 / 1.0, 0.0, 0.0])  # (E x B)/B^2
-    vs = []
-    for _ in range(2000):
-        p = pushers.update_vEB(dt, QM, p, E, B)
-        vs.append(np.asarray(p)[0])
-    mean_v = np.mean(vs, axis=0)
+
+    @jax.jit
+    def sweep(p):
+        def body(p, _):
+            p = pushers.update_vEB(dt, QM, p, E, B)
+            return p, p[0]
+
+        return jax.lax.scan(body, p, None, length=2000)[1]
+
+    mean_v = np.mean(np.asarray(sweep(p0)), axis=0)
     np.testing.assert_allclose(mean_v, drift, atol=5e-3)
 
 

@@ -78,12 +78,31 @@ class DistributionMoment:
         if moment not in MOMENT_DOF:
             raise ValueError(f"unknown moment name {moment!r}")
         suffix = ""
-        if "region" in info and "suffix" in info["region"]:
-            suffix = "_" + info["region"]["suffix"]
+        region = None
+        if "region" in info:
+            reg = info["region"]
+            if "suffix" in reg:
+                suffix = "_" + reg["suffix"]
+            g = simulation.geom
+            units = simulation.cfg.unit_table()
+            from ..config import parse_value
+
+            steps = (g.dx, g.dy, g.dz)
+            start = [0, 0, 0]
+            size = [g.nx, g.ny, g.nz]
+            if "start" in reg:
+                start = [int(parse_value(reg["start"][i], units) // steps[i])
+                         for i in range(3)]
+            if "size" in reg:
+                size = [int(parse_value(reg["size"][i], units) // steps[i])
+                        for i in range(3)]
+            region = (tuple(start), tuple(size))
         out = os.path.join(
             simulation.cfg.out_dir, sp.params.sort_name, moment + suffix
         )
-        return cls(simulation, sp, moment, out)
+        obj = cls(simulation, sp, moment, out)
+        obj.region = region
+        return obj
 
     def _make_collect(self):
         geom = self.simulation.geom
@@ -110,14 +129,20 @@ class DistributionMoment:
 
         return collect
 
+    region: tuple | None = None
+
     def diagnose(self, t: int) -> None:
         sim = self.simulation
         if t % sim.geom.diagnose_period != 0:
             return
-        data = self._collect(self.species.arrays, max(self.species.slots, 8))
-        np.asarray(data, dtype=np.float32).tofile(
-            os.path.join(self.out_dir, format_time(t, sim.geom.nt))
+        data = np.asarray(
+            self._collect(self.species.arrays, max(self.species.slots, 8)),
+            dtype=np.float32,
         )
+        if self.region is not None:
+            (sx, sy, sz), (nx, ny, nz) = self.region
+            data = data[sz : sz + nz, sy : sy + ny, sx : sx + nx, :]
+        data.tofile(os.path.join(self.out_dir, format_time(t, sim.geom.nt)))
 
     def finalize(self) -> None:
         pass

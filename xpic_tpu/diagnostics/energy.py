@@ -36,6 +36,19 @@ def _kinetic_stats(p, alive):
     return comp, w, n
 
 
+@jax.jit
+def _all_stats(E, B, species_p, species_alive):
+    """All Energy-diagnostic reductions in one device round trip:
+    returns a flat stats vector [2 + 2*3 + 5*n_species]."""
+    en_E, sums_E = _field_stats(E)
+    en_B, sums_B = _field_stats(B)
+    parts = [jnp.stack([en_E, en_B]), sums_E, sums_B]
+    for p, alive in zip(species_p, species_alive):
+        comp, w, n = _kinetic_stats(p, alive)
+        parts.append(jnp.concatenate([comp, jnp.stack([w, n.astype(p.dtype)])]))
+    return jnp.concatenate(parts)
+
+
 class Energy:
     def __init__(self, simulation):
         self.simulation = simulation
@@ -53,43 +66,56 @@ class Energy:
         self.std_K = [0.0] * ns
 
     # -- physics ------------------------------------------------------
-    def calculate_field(self):
+    def calculate(self):
+        """One fused device round trip for every reduction the tables
+        need (dispatch latency dominates on tunneled backends)."""
         sim = self.simulation
         g3 = sim.geom.n_cells
-        en_E, sums_E = _field_stats(sim.E)
-        en_B, sums_B = _field_stats(sim.B)
-        self.E = float(en_E)
-        self.B = float(en_B)
+        stats = np.asarray(
+            _all_stats(
+                sim.E, sim.B,
+                tuple(sp.arrays.p for sp in sim.species),
+                tuple(sp.arrays.alive for sp in sim.species),
+            )
+        )
+        self.E = float(stats[0])
+        self.B = float(stats[1])
+        sums_E = stats[2:5]
+        sums_B = stats[5:8]
         self.std_E = float(
-            np.sqrt(max(self.E - 0.5 * float(jnp.sum(sums_E**2)) / g3, 0.0) / g3)
+            np.sqrt(max(self.E - 0.5 * float(np.sum(sums_E**2)) / g3, 0.0) / g3)
         )
         self.std_B = float(
-            np.sqrt(max(self.B - 0.5 * float(jnp.sum(sums_B**2)) / g3, 0.0) / g3)
+            np.sqrt(max(self.B - 0.5 * float(np.sum(sums_B**2)) / g3, 0.0) / g3)
         )
-
-    def calculate_kinetic(self):
+        off = 8
         for i, sp in enumerate(self.simulation.species):
+            comp = stats[off : off + 3]
+            w = float(stats[off + 3])
+            n = int(round(float(stats[off + 4])))
+            off += 5
             frac = 0.5 * sp.params.m * sp.params.n_Np
-            comp, w, n = _kinetic_stats(sp.arrays.p, sp.arrays.alive)
-            n = int(n)
             if n == 0:
                 self.K[i] = 0.0
                 self.std_K[i] = 0.0
                 continue
-            w = float(w)
-            comp = np.asarray(comp)
             self.K[i] = frac * w
             s = w - float(np.sum(comp**2)) / n
             self.std_K[i] = frac * np.sqrt(abs(s) / n)
 
+    # Back-compat shims (used by subclasses/tests)
+    def calculate_field(self):
+        self.calculate()
+
+    def calculate_kinetic(self):
+        pass
+
     # -- table filling ------------------------------------------------
     def diagnose(self, t: int) -> None:
         if t == 0:
-            self.calculate_field()
-            self.calculate_kinetic()
+            self.calculate()
         self.E0, self.B0v, self.K0 = self.E, self.B, list(self.K)
-        self.calculate_field()
-        self.calculate_kinetic()
+        self.calculate()
         self.fill_energy(t)
         self.fill_energy_cons(t)
         period = self.simulation.geom.diagnose_period

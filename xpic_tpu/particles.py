@@ -154,30 +154,28 @@ def sort_by_cell(sp: ParticleArrays, geom: Geometry) -> ParticleArrays:
 def apply_boundaries(sp: ParticleArrays, geom: Geometry) -> ParticleArrays:
     """Apply global coordinate boundaries to all particles.
 
-    Periodic wrap mirrors ``g_bound_periodic`` and reflective walls
-    mirror ``g_bound_reflective`` (src/interfaces/point.cpp:3-26); the
-    reference treats non-periodic DMDA bounds as reflective only via
-    explicit commands, while stray particles are dropped — here
-    non-periodic axes clamp+reflect, which conserves the count.
+    Periodic axes wrap by one period (``g_bound_periodic``,
+    src/interfaces/point.cpp:19-26).  On non-periodic axes the
+    reference's ``update_cells`` silently erases particles that leave
+    the local domain (src/interfaces/particles.cpp:100-105); here they
+    are marked dead, which conserves the array shape.
+    (``g_bound_reflective`` exists in the reference but is unused by
+    any scheme.)
     """
     L = jnp.asarray(geom.L, dtype=sp.r.dtype)
     r = sp.r
-    p = sp.p
     per = jnp.asarray([b == PERIODIC for b in geom.bounds])
 
     # Single-pass wrap (reference adds/subtracts one period,
-    # point.cpp:19-25); fmod guards pathological large excursions.
+    # point.cpp:19-25); clip guards roundoff at the edges.
     r_wrapped = jnp.where(r < 0.0, r + L, jnp.where(r > L, r - L, r))
     r_wrapped = jnp.clip(r_wrapped, 0.0, L)
 
-    below = r < 0.0
-    above = r > L
-    r_reflect = jnp.where(below, 0.0, jnp.where(above, L, r))
-    p_reflect = jnp.where(below | above, -p, p)
-
-    r_new = jnp.where(per[None, :], r_wrapped, r_reflect)
-    p_new = jnp.where(per[None, :], p, p_reflect)
-    return ParticleArrays(r=r_new, p=p_new, alive=sp.alive)
+    out = (r < 0.0) | (r > L)
+    r_new = jnp.where(per[None, :], r_wrapped, jnp.clip(r, 0.0, L))
+    dead = jnp.any(out & ~per[None, :], axis=1)
+    alive = sp.alive & ~dead
+    return ParticleArrays(r=r_new, p=sp.p, alive=alive)
 
 
 def kinetic_energy(sp: ParticleArrays, params: SortParameters) -> jax.Array:
