@@ -25,6 +25,14 @@ os.environ.setdefault("XPIC_X64", "1" if os.environ.get("BENCH_X64") == "1" else
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
+# Compiles route through a slow remote relay in some setups; a
+# persistent cache makes repeat runs cheap.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/xpic_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
 BASELINE_PARTICLES_PER_S = 1.0e7
 
 

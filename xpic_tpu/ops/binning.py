@@ -73,43 +73,37 @@ def bin_sorted(sp: ParticleArrays, geom: Geometry, slots: int) -> BinnedSpecies:
     """
     n = sp.r.shape[0]
     ids = cell_ids(sp, geom)  # sorted; dead -> n_cells
-    # Slot within the cell segment: distance to the segment's first
-    # element, via a running max over segment-start positions (a
-    # vectorized scan — much faster on TPU than a searchsorted binary
-    # search, which costs log(n) serialized gather rounds).
-    arange = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), ids[1:] != ids[:-1]]
+    G = geom.n_cells
+
+    # Segment starts per cell by binary search over the G+1 cell
+    # boundaries (cheap: G queries, not n) — the padded view is then a
+    # pure gather, which lowers much better on TPU than the equivalent
+    # scatter-pad.
+    seg = jnp.searchsorted(ids, jnp.arange(G + 1, dtype=jnp.int32)).astype(
+        jnp.int32
     )
-    first = jax.lax.cummax(jnp.where(is_start, arange, jnp.int32(-1)))
-    slot = arange - first
-
-    in_range = (ids < geom.n_cells) & (slot < slots)
-    dest = jnp.where(in_range, ids * slots + slot, geom.n_cells * slots)
-
-    flat_index = jnp.zeros((geom.n_cells * slots + 1,), jnp.int32)
-    flat_valid = jnp.zeros((geom.n_cells * slots + 1,), bool)
-    flat_index = flat_index.at[dest].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True
-    )
-    flat_valid = flat_valid.at[dest].set(in_range, mode="drop", unique_indices=True)
-
-    index = flat_index[:-1].reshape(geom.n_cells, slots)
-    valid = flat_valid[:-1].reshape(geom.n_cells, slots)
+    k = jnp.arange(slots, dtype=jnp.int32)[None, :]
+    pos = seg[:G, None] + k
+    valid = pos < seg[1:, None]
+    index = jnp.minimum(pos, n - 1)
 
     d = jnp.asarray([geom.dx, geom.dy, geom.dz], dtype=sp.r.dtype)
     r = sp.r[index] / d
     p = sp.p[index]
-    zero = jnp.zeros((), dtype=sp.r.dtype)
+
     # Park invalid slots at the cell's own center so their (masked)
     # weights stay finite and cell-anchored windows remain valid.
-    g = jnp.arange(geom.n_cells, dtype=jnp.int32)
-    gx = (g % geom.nx).astype(sp.r.dtype) + 0.5
-    gy = ((g // geom.nx) % geom.ny).astype(sp.r.dtype) + 0.5
-    gz = (g // (geom.nx * geom.ny)).astype(sp.r.dtype) + 0.5
-    center = jnp.stack([gx, gy, gz], axis=-1)[:, None, :]
+    g = jnp.arange(G, dtype=jnp.int32)
+    center = jnp.stack(
+        [
+            (g % geom.nx).astype(sp.r.dtype) + 0.5,
+            ((g // geom.nx) % geom.ny).astype(sp.r.dtype) + 0.5,
+            (g // (geom.nx * geom.ny)).astype(sp.r.dtype) + 0.5,
+        ],
+        axis=-1,
+    )[:, None, :]
     r = jnp.where(valid[..., None], r, center)
-    p = jnp.where(valid[..., None], p, zero)
+    p = jnp.where(valid[..., None], p, 0.0)
     return BinnedSpecies(index=index, valid=valid, r=r, p=p)
 
 

@@ -100,11 +100,9 @@ def ecsim_step(E, B, B0, sp: ParticleArrays, geom: Geometry, slots: int,
 
 
 def _sort(sp: ParticleArrays, geom: Geometry) -> ParticleArrays:
-    from ..particles import cell_ids
+    from ..particles import sort_by_cell_impl
 
-    ids = cell_ids(sp, geom)
-    order = jnp.argsort(ids, stable=True)
-    return ParticleArrays(r=sp.r[order], p=sp.p[order], alive=sp.alive[order])
+    return sort_by_cell_impl(sp, geom)
 
 
 @partial(jax.jit,

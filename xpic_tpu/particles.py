@@ -136,19 +136,32 @@ def cell_ids(sp: ParticleArrays, geom: Geometry) -> jax.Array:
     return jnp.where(sp.alive, flat, geom.n_cells).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))
-def sort_by_cell(sp: ParticleArrays, geom: Geometry) -> ParticleArrays:
+def sort_by_cell_impl(sp: ParticleArrays, geom: Geometry) -> ParticleArrays:
     """Stable sort of the species by flat cell id (dead slots sink to the end).
 
     This is the TPU replacement for ``update_cells_seq``
     (src/interfaces/particles.cpp:79-112): after it, per-cell segments
-    are contiguous and deposits reduce with ``segment_sum``.
+    are contiguous and deposits reduce over the binned slot axis.
+
+    Implementation: one multi-operand ``lax.sort`` carrying the payload
+    columns with the key — cheaper than argsort + gathers on TPU.
     """
     ids = cell_ids(sp, geom)
-    order = jnp.argsort(ids, stable=True)
-    return ParticleArrays(
-        r=sp.r[order], p=sp.p[order], alive=sp.alive[order]
+    tie = jnp.arange(ids.shape[0], dtype=jnp.int32)  # stability
+    cols = jax.lax.sort(
+        (ids, tie,
+         sp.r[:, 0], sp.r[:, 1], sp.r[:, 2],
+         sp.p[:, 0], sp.p[:, 1], sp.p[:, 2],
+         sp.alive),
+        num_keys=2,
     )
+    r = jnp.stack(cols[2:5], axis=1)
+    p = jnp.stack(cols[5:8], axis=1)
+    return ParticleArrays(r=r, p=p, alive=cols[8])
+
+
+sort_by_cell = partial(jax.jit, static_argnames=("geom",),
+                       donate_argnums=(0,))(sort_by_cell_impl)
 
 
 def apply_boundaries(sp: ParticleArrays, geom: Geometry) -> ParticleArrays:
