@@ -9,31 +9,50 @@ under ``mpiexec -np 2``): here the same jitted code runs on a simulated
 import os
 import sys
 
-# The axon sitecustomize (PYTHONPATH=.axon_site) initializes the JAX
-# backend at interpreter startup, which locks the CPU device count to 1
-# before any XLA_FLAGS/jax config can take effect.  Re-exec the test
-# run without it so the 8-virtual-device mesh is available.
-# NOTE: under the axon sitecustomize (PYTHONPATH=.axon_site) the JAX
-# backend is initialized at interpreter startup, locking the CPU device
-# count to 1 — multi-device tests then skip.  Run
-# ``tests/run_multidevice.sh`` (or ``env -u PYTHONPATH pytest ...``) to
-# get the full 8-virtual-device mesh.
+# The axon sitecustomize (PYTHONPATH=.axon_site) registers the tunneled
+# TPU PJRT plugin at interpreter startup: the CPU device count is locked
+# to 1 before any XLA_FLAGS can take effect and test compute crawls
+# through the remote relay.  Re-exec the exact same command without
+# PYTHONPATH so the suite runs on the local 8-virtual-device CPU mesh.
+# The exec happens in pytest_configure (below) because pytest's capture
+# manager has already dup'd fd 1 by the time this conftest is imported —
+# capture must be unwound first or the child's output is lost.
+_NEEDS_REEXEC = (".axon_site" in os.environ.get("PYTHONPATH", "")
+                 and os.environ.get("XPIC_TESTS_REEXECED") != "1")
 
-# Force CPU even when the session environment pins another platform
-# (e.g. JAX_PLATFORMS=axon for the tunneled TPU).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if not _NEEDS_REEXEC:
+    # Force CPU even when the session environment pins another platform
+    # (e.g. JAX_PLATFORMS=axon for the tunneled TPU).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_enable_x64", True)
-# Compiles in this setup can be remote/slow; a persistent cache makes
-# repeat test runs cheap.
-jax.config.update("jax_compilation_cache_dir", "/tmp/xpic_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_enable_x64", True)
+    # Compiles in this setup can be remote/slow; a persistent cache makes
+    # repeat test runs cheap.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/xpic_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+
+def pytest_configure(config):
+    if not _NEEDS_REEXEC:
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["XPIC_TESTS_REEXECED"] = "1"
+    argv = list(getattr(sys, "orig_argv", None)
+                or [sys.executable, "-m", "pytest"] + sys.argv[1:])
+    os.execve(sys.executable, argv, env)

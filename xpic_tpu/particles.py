@@ -99,15 +99,15 @@ def append(sp: ParticleArrays, r: np.ndarray, p: np.ndarray,
         alive[idx] = True
     rest = n_new - use
     if rest > 0:
-        total = alive.shape[0] + rest
-        cap = round_capacity(total, bucket)
-        grow = cap - alive.shape[0]
+        old_cap = alive.shape[0]
+        cap = round_capacity(old_cap + rest, bucket)
+        grow = cap - old_cap
         r_old = np.concatenate([r_old, np.zeros((grow, 3))])
         p_old = np.concatenate([p_old, np.zeros((grow, 3))])
         alive = np.concatenate([alive, np.zeros((grow,), dtype=bool)])
-        r_old[-grow : -grow + rest] = r[use:]
-        p_old[-grow : -grow + rest] = p[use:]
-        alive[-grow : -grow + rest] = True
+        r_old[old_cap : old_cap + rest] = r[use:]
+        p_old[old_cap : old_cap + rest] = p[use:]
+        alive[old_cap : old_cap + rest] = True
     dtype = sp.r.dtype
     return ParticleArrays(
         r=jnp.asarray(r_old, dtype=dtype),
