@@ -123,6 +123,24 @@ def deposit_slots(values, W, geom: Geometry):
     return jnp.stack(comps)
 
 
+def deposit_slot_sums(Islot, geom: Geometry):
+    """Scatter already slot-summed values [G, 3, 12] onto the grid.
+
+    The rolled-add tail of :func:`deposit_slots` for producers (e.g. the
+    Pallas fill kernel) that reduce over the slot axis on-chip.
+    """
+    comps = []
+    for c in range(3):
+        acc = None
+        for s in range(12):
+            contrib = _unroll_back(
+                Islot[:, c, s].reshape(geom.shape), OFFSETS[c][s], geom.bounds
+            )
+            acc = contrib if acc is None else acc + contrib
+        comps.append(acc)
+    return jnp.stack(comps)
+
+
 def gather_slots(F, geom: Geometry):
     """Gather the 12 slot values per component per cell: [G, 3, 12]."""
     cols = []

@@ -90,7 +90,8 @@ def ecsim_step(E, B, B0, sp: ParticleArrays, geom: Geometry, slots: int,
     p1 = jnp.where(binned.valid[..., None], p1, 0.0)
     from ..ops.binning import scatter_back
 
-    p_new = scatter_back(binned, p1, sp.r.shape[0])
+    from ..particles import cell_ids
+    p_new = scatter_back(binned, p1, sp.r.shape[0], ids=cell_ids(sp, geom))
     sp = ParticleArrays(r=sp.r, p=p_new, alive=sp.alive)
 
     # final_update

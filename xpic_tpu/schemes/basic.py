@@ -32,7 +32,7 @@ from ..ops.gather_scatter import (
     gather_vector,
 )
 from ..ops.stencil import curl_negative, curl_positive
-from ..particles import ParticleArrays, apply_boundaries
+from ..particles import ParticleArrays, apply_boundaries, cell_ids
 from ..pushers import update_vEB
 from .base import Simulation, Species
 
@@ -67,8 +67,9 @@ def _push_species(E, B, sp: ParticleArrays, geom: Geometry, qm: float,
     J_s = esirkepov_current(t0, t1, binned.valid, alpha, geom)
 
     n = sp.r.shape[0]
-    r_new = scatter_back(binned, rg1 * d, n)
-    p_new = scatter_back(binned, p1, n)
+    ids = cell_ids(sp, geom)
+    r_new = scatter_back(binned, rg1 * d, n, ids=ids)
+    p_new = scatter_back(binned, p1, n, ids=ids)
     sp_new = apply_boundaries(
         ParticleArrays(r=r_new, p=p_new, alive=sp.alive), geom
     )

@@ -53,7 +53,7 @@ from ..ops.implicit_esirkepov import (
     split_segments,
 )
 from ..ops.stencil import curl_negative, curl_positive
-from ..particles import ParticleArrays, apply_boundaries
+from ..particles import ParticleArrays, apply_boundaries, cell_ids
 from ..solvers import anderson_solve
 from .base import Simulation
 
@@ -175,8 +175,9 @@ def _form_species(E_hk, B, sp_prev: ParticleArrays, geom: Geometry,
     # tn/t0 are cell-relative; absolute position = binned.r + (tn - t0).
     r_new_g = (binned.r + (tn - t0)) * d_steps
     n = sp_prev.r.shape[0]
-    r_flat = scatter_back(binned, r_new_g, n)
-    p_flat = scatter_back(binned, pn, n)
+    ids = cell_ids(sp_prev, geom)
+    r_flat = scatter_back(binned, r_new_g, n, ids=ids)
+    p_flat = scatter_back(binned, pn, n, ids=ids)
     avg_it = jnp.asarray(iters, E_hk.dtype)
     return J, r_flat, p_flat, avg_it, jnp.sum(nonconv)
 

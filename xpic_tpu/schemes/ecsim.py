@@ -41,7 +41,7 @@ from ..ops.ecsim_blocks import (
 )
 from ..ops.gather_scatter import B_STAGGER, cell_t, gather_vector
 from ..ops.stencil import curl_negative, curl_positive
-from ..particles import ParticleArrays, apply_boundaries
+from ..particles import ParticleArrays, apply_boundaries, cell_ids
 from ..pushers import update_vEB
 from ..solvers import gmres
 from .base import Simulation
@@ -131,7 +131,7 @@ def _second_push(Ep, B, sp: ParticleArrays, geom: Geometry, slots: int,
     p1 = update_vEB(geom.dt, qm, binned.p, E_p, B_p)
     p1 = jnp.where(binned.valid[..., None], p1, 0.0)
     n = sp.r.shape[0]
-    p_new = scatter_back(binned, p1, n)
+    p_new = scatter_back(binned, p1, n, ids=cell_ids(sp, geom))
     return ParticleArrays(r=sp.r, p=p_new, alive=sp.alive)
 
 

@@ -40,7 +40,7 @@ from ..ops.gather_scatter import (
     gather_vector,
 )
 from ..ops.stencil import curl_negative, curl_positive
-from ..particles import ParticleArrays, apply_boundaries, kinetic_energy
+from ..particles import ParticleArrays, apply_boundaries, cell_ids, kinetic_energy
 from ..pushers import update_vEB
 from ..solvers import cg
 from .base import Simulation
@@ -60,7 +60,7 @@ def _half_drift_deposit(sp: ParticleArrays, geom: Geometry, slots: int,
         cell_t(geom, rg0), cell_t(geom, rg1), binned.valid, alpha, geom
     )
     n = sp.r.shape[0]
-    r_new = scatter_back(binned, rg1 * d, n)
+    r_new = scatter_back(binned, rg1 * d, n, ids=cell_ids(sp, geom))
     sp_new = apply_boundaries(
         ParticleArrays(r=r_new, p=sp.p, alive=sp.alive), geom
     )
@@ -96,8 +96,9 @@ def _second_push_corr(Ep, B, sp: ParticleArrays, geom: Geometry, slots: int,
     )
 
     n = sp.r.shape[0]
-    r_new = scatter_back(binned, rg1 * d, n)
-    p_new = scatter_back(binned, p1, n)
+    ids = cell_ids(sp, geom)
+    r_new = scatter_back(binned, rg1 * d, n, ids=ids)
+    p_new = scatter_back(binned, p1, n, ids=ids)
     sp_new = apply_boundaries(
         ParticleArrays(r=r_new, p=p_new, alive=sp.alive), geom
     )
