@@ -75,6 +75,20 @@ def test_current_matches_deposit(setup):
                                rtol=2e-5, atol=2e-6)
 
 
+def test_gather_matches_slot_fields(setup):
+    from xpic_tpu.ops.ecsim_blocks import gather_slot_fields, gather_slots
+    from xpic_tpu.ops.pallas_ecsim import ecsim_gather_pallas
+
+    geom, binned, t, B_p = setup
+    rng = np.random.default_rng(11)
+    F = jnp.asarray(rng.standard_normal((3, 4, 4, 4)), jnp.float32)
+    W = s1_slot_weights(t)
+    E_ref = gather_slot_fields(F, W.astype(jnp.float32), geom)
+    E_p = ecsim_gather_pallas(t, gather_slots(F, geom), interpret=True)
+    np.testing.assert_allclose(np.asarray(E_p), np.asarray(E_ref),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_islot_matches_slot_weights(setup):
     geom, binned, t, B_p = setup
     W = s1_slot_weights(t)

@@ -117,10 +117,71 @@ def _fill_kernel(t_ref, v_ref, b_ref, mask_ref, L_ref, I_ref, *,
             )
 
 
+def _gather_kernel(t_ref, f_ref, out_ref):
+    tx, ty, tz = t_ref[0], t_ref[1], t_ref[2]          # [BG, K]
+
+    wnx0, wnx1 = _hat_node(tx)
+    wny0, wny1 = _hat_node(ty)
+    wnz0, wnz1 = _hat_node(tz)
+    wsx = _hat_stag(tx)
+    wsy = _hat_stag(ty)
+    wsz = _hat_stag(tz)
+    wn = ((wnx0, wnx1), (wny0, wny1), (wnz0, wnz1))
+
+    WX = [wnz * wny * ws for wnz in wn[2] for wny in wn[1] for ws in wsx]
+    WY = [wnz * ws * wnx for wnz in wn[2] for ws in wsy for wnx in wn[0]]
+    WZ = [ws * wny * wnx for ws in wsz for wny in wn[1] for wnx in wn[0]]
+
+    for c, W in enumerate((WX, WY, WZ)):
+        acc = W[0] * f_ref[:, c, 0][:, None]
+        for s in range(1, 12):
+            acc = acc + W[s] * f_ref[:, c, s][:, None]
+        out_ref[c] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("block_g", "interpret"))
+def ecsim_gather_pallas(t, Fg, *, block_g: int = 128,
+                        interpret: bool = False):
+    """Interpolate an E-staggered field at the particles through the s1
+    slot weights: (t [G,K,3], Fg [G,3,12] slot values) -> E_p [G,K,3].
+
+    The Pallas twin of ``ecsim_blocks.gather_slot_fields`` — the weights
+    are rebuilt in VMEM instead of being materialized in HBM
+    (interpolate_E_s1, ecsim/simulation.cpp:8-64).
+    """
+    G, K, _ = t.shape
+    bg = min(block_g, G)
+    while G % bg:
+        bg //= 2
+    grid = (G // bg,)
+
+    t3 = jnp.transpose(t, (2, 0, 1)).astype(jnp.float32)
+    out = pl.pallas_call(
+        _gather_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, bg, K), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, 3, 12), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, bg, K), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, G, K), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=G * K * 3 * 24,
+            bytes_accessed=3 * G * K * 4 * 2 + G * 36 * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(t3, Fg.astype(jnp.float32))
+    return jnp.transpose(out, (1, 2, 0))
+
+
 @functools.partial(jax.jit, static_argnames=("q", "m", "mpw", "dt",
                                              "block_g", "interpret"))
 def ecsim_fill_pallas(t, v, B_p, valid, *, q: float, m: float, mpw: float,
-                      dt: float, block_g: int = 256,
+                      dt: float, block_g: int = 64,
                       interpret: bool = False):
     """Fused fill: (t, v, B_p, valid) -> (L [G,3,12,3,12], Islot [G,3,12]).
 

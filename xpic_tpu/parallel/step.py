@@ -30,6 +30,27 @@ from ..pushers import update_vEB
 from ..solvers import gmres
 
 
+def _pallas_ok(dtype) -> bool:
+    """Route the f32 speed path through the fused Pallas kernels on TPU.
+
+    Resolved at trace time (the backend cannot change within a process);
+    ``XPIC_FORCE_PALLAS=1`` / ``XPIC_NO_PALLAS=1`` override for testing.
+    """
+    import os
+
+    if os.environ.get("XPIC_NO_PALLAS") == "1":
+        return False
+    if dtype != jnp.float32:
+        return False
+    if os.environ.get("XPIC_FORCE_PALLAS") == "1":
+        return True
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    return plat in ("tpu", "axon")
+
+
 @partial(jax.jit,
          static_argnames=("geom", "slots", "q", "m", "mpw", "maxit"))
 def ecsim_step(E, B, B0, sp: ParticleArrays, geom: Geometry, slots: int,
@@ -44,6 +65,7 @@ def ecsim_step(E, B, B0, sp: ParticleArrays, geom: Geometry, slots: int,
         tol = 1e-5
     else:
         tol = 1e-7
+    use_pallas = _pallas_ok(E.dtype)
 
     # first_push + rebin
     sp = apply_boundaries(
@@ -53,15 +75,24 @@ def ecsim_step(E, B, B0, sp: ParticleArrays, geom: Geometry, slots: int,
     sp = _sort(sp, geom)
     binned = bin_sorted(sp, geom, slots)
     t = cell_t(geom, binned.r)
-    W = s1_slot_weights(t)
 
     # fill currI + matL
     B_p = gather_vector(B, t, binned.valid, geom, order=1, width=3, anchor=-1,
                         stagger=B_STAGGER)
-    I_p, M = ecsim_particle_terms(B_p, binned.p, binned.valid,
-                                  q=q, m=m, mpw=mpw, dt=dt)
-    currI = deposit_slots(I_p, W, geom)
-    L = assemble_blocks(W, M)
+    if use_pallas:
+        from ..ops.ecsim_blocks import deposit_slot_sums
+        from ..ops.pallas_ecsim import ecsim_fill_pallas
+
+        L, Islot = ecsim_fill_pallas(t, binned.p, B_p, binned.valid,
+                                     q=q, m=m, mpw=mpw, dt=dt)
+        currI = deposit_slot_sums(Islot, geom)
+        W = None
+    else:
+        W = s1_slot_weights(t)
+        I_p, M = ecsim_particle_terms(B_p, binned.p, binned.valid,
+                                      q=q, m=m, mpw=mpw, dt=dt)
+        currI = deposit_slots(I_p, W, geom)
+        L = assemble_blocks(W, M)
 
     # advance_fields
     half_dt2 = 0.5 * dt * dt
@@ -84,7 +115,13 @@ def ecsim_step(E, B, B0, sp: ParticleArrays, geom: Geometry, slots: int,
     Ep = sol.x
 
     # second_push
-    E_p = gather_slot_fields(Ep, W, geom)
+    if use_pallas:
+        from ..ops.ecsim_blocks import gather_slots
+        from ..ops.pallas_ecsim import ecsim_gather_pallas
+
+        E_p = ecsim_gather_pallas(t, gather_slots(Ep, geom))
+    else:
+        E_p = gather_slot_fields(Ep, W, geom)
     E_p = jnp.where(binned.valid[..., None], E_p, 0.0)
     p1 = update_vEB(dt, q / m, binned.p, E_p, B_p)
     p1 = jnp.where(binned.valid[..., None], p1, 0.0)
