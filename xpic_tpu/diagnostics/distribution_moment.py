@@ -1,9 +1,13 @@
 """DistributionMoment: particle->grid moment dumps.
 
 Reference: src/diagnostics/distribution_moment.cpp — deposits per-particle
-moment values with node-centered order-2 spline products weighted by
-n/Np, then dumps float32 binaries in the FieldView layout under
-``<out_dir>/<particles>/<moment><suffix>``.
+moment values as *cell-centered* quantities with a reduced order-1
+spline (the diagnostic-local ``Shape``: shr=1, shw=2, spline_of_1st_order
+at the half-shifted lattice, distribution_moment.cpp:125-155), weighted
+by n/Np, then dumps float32 binaries in the FieldView layout under
+``<out_dir>/<particles>/<moment><suffix>``.  This exact deposit is what
+the committed expected dumps contain (tests/ecsim/expected/ecsim_ex1/
+electrons/density) — reproduced bit-for-bit by the golden-parity tests.
 """
 
 from __future__ import annotations
@@ -122,7 +126,8 @@ class DistributionMoment:
                 outs.append(
                     deposit_scalar(
                         vals[..., j] * params.n_Np,
-                        t, binned.valid, geom, order=2, width=4, anchor=-1,
+                        t, binned.valid, geom, order=1, width=3, anchor=-1,
+                        stag=True,
                     )
                 )
             return jnp.stack(outs, axis=-1)  # [nz, ny, nx, dof]

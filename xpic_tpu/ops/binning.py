@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..config import Geometry
+from ..config import PERIODIC, Geometry
 from ..particles import ParticleArrays, cell_ids
 
 
@@ -137,3 +137,157 @@ def scatter_back(binned: BinnedSpecies, values: jax.Array, n: int,
     flat = values.reshape((G * K,) + values.shape[2:])[gk]
     mask = ok.reshape((n,) + (1,) * (values.ndim - 2))
     return jnp.where(mask, flat, 0)
+
+
+# -- persistent binned state (the production hot-path layout) --------------
+#
+# The flat-primary pipeline above pays three large permutations per step
+# (full payload sort, padded-view gather, inverse-binning gather) —
+# measured 12 + 19 + 47 ms at the 32^3 x 50ppc bench shape on v5e.  The
+# persistent layout keeps the species *in* the padded [G, K] view across
+# steps, so one keys-only sort plus one packed 24-byte-row gather per
+# step is the entire permutation cost (~10 + 18 ms measured).  This is
+# the TPU counterpart of the reference's always-binned
+# ``std::vector<std::list<Point>>`` storage + update_cells migration
+# (src/interfaces/particles.{h,cpp}).
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BinnedState:
+    """Persistent cell-binned species state.
+
+    ``r`` is the position in *grid units* (x/dx, y/dy, z/dz) so that
+    ``floor(r)`` is the cell and ``r - cell`` the spline offset;
+    ``valid`` masks live slots.  Invalid slots hold the owning cell's
+    center (finite weights) and zero velocity.
+    """
+
+    r: jax.Array  # [G, K, 3]
+    p: jax.Array  # [G, K, 3]
+    valid: jax.Array  # [G, K] bool
+
+    @property
+    def n_cells(self) -> int:
+        return self.r.shape[0]
+
+    @property
+    def slots(self) -> int:
+        return self.r.shape[1]
+
+
+def _cell_centers(geom: Geometry, dtype) -> jax.Array:
+    g = jnp.arange(geom.n_cells, dtype=jnp.int32)
+    return jnp.stack(
+        [
+            (g % geom.nx).astype(dtype) + 0.5,
+            ((g // geom.nx) % geom.ny).astype(dtype) + 0.5,
+            (g // (geom.nx * geom.ny)).astype(dtype) + 0.5,
+        ],
+        axis=-1,
+    )[:, None, :]
+
+
+def state_cell_ids(st: BinnedState, geom: Geometry) -> jax.Array:
+    """Flat cell id per slot from the current positions (dead -> G)."""
+    n = jnp.asarray([geom.nx, geom.ny, geom.nz], jnp.int32)
+    c = jnp.clip(jnp.floor(st.r).astype(jnp.int32), 0, n - 1)
+    flat = (c[..., 2] * geom.ny + c[..., 1]) * geom.nx + c[..., 0]
+    return jnp.where(st.valid, flat, geom.n_cells).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))
+def rebin(st: BinnedState, geom: Geometry) -> BinnedState:
+    """Re-sort a drifted binned state into its new cells.
+
+    One (id, slot)-keyed sort of the flat slot ids plus a single packed
+    6-column gather — the per-step migration (update_cells_seq,
+    src/interfaces/particles.cpp:79-112).  Deterministic: the slot-index
+    tiebreaker makes the permutation unique, so per-cell deposit order
+    is reproducible across runs and decompositions.
+
+    Returns the new state plus nothing else; overflow beyond K slots in
+    a cell is *dropped* — check :func:`rebin_overflow` when capacity is
+    in doubt (the schemes surface it like solver non-convergence).
+    """
+    G, K = st.valid.shape
+    NK = G * K
+    ids = state_cell_ids(st, geom).reshape(NK)
+    tie = jnp.arange(NK, dtype=jnp.int32)
+    cols = (
+        st.r[..., 0].reshape(NK), st.r[..., 1].reshape(NK),
+        st.r[..., 2].reshape(NK),
+        st.p[..., 0].reshape(NK), st.p[..., 1].reshape(NK),
+        st.p[..., 2].reshape(NK),
+    )
+    # Payload rides the sort: one 8-operand sort + one padded 24-byte-row
+    # gather measures ~20% cheaper than keys-only sort + index gather +
+    # payload gather (the extra 4-byte perm[pos] gather costs more than
+    # carrying 24B/row through the sorting network).
+    out = jax.lax.sort((ids, tie) + cols, num_keys=2)
+    s_ids = out[0]
+
+    seg = jnp.searchsorted(s_ids, jnp.arange(G + 1, dtype=jnp.int32)).astype(
+        jnp.int32
+    )
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]
+    pos = seg[:G, None] + k
+    valid = pos < seg[1:, None]
+
+    rp = jnp.stack(out[2:], axis=-1)[jnp.minimum(pos, NK - 1)]
+    r, p = rp[..., :3], rp[..., 3:]
+    center = _cell_centers(geom, st.r.dtype)
+    r = jnp.where(valid[..., None], r, center)
+    p = jnp.where(valid[..., None], p, 0.0)
+    return BinnedState(r=r, p=p, valid=valid)
+
+
+@partial(jax.jit, static_argnames=("geom",))
+def rebin_overflow(st: BinnedState, geom: Geometry) -> jax.Array:
+    """Number of live particles that a :func:`rebin` would drop because
+    their destination cell is already at slot capacity."""
+    G, K = st.valid.shape
+    ids = state_cell_ids(st, geom).reshape(-1)
+    counts = jnp.zeros(G + 1, jnp.int32).at[ids].add(1)
+    return jnp.sum(jnp.maximum(counts[:G] - K, 0))
+
+
+@partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))
+def drift_state(st: BinnedState, geom: Geometry, dt: float | None = None
+                ) -> BinnedState:
+    """r += v dt in grid units, with the global coordinate boundaries
+    (periodic wrap / open kill) applied (interfaces/point.cpp:3-26)."""
+    d = jnp.asarray(geom.cell_steps, st.r.dtype)
+    n = jnp.asarray([geom.nx, geom.ny, geom.nz], st.r.dtype)
+    dt = geom.dt if dt is None else dt
+    r = st.r + st.p * (dt / d)
+    per = jnp.asarray([b == PERIODIC for b in geom.bounds])
+    r_wrap = jnp.where(r < 0.0, r + n, jnp.where(r > n, r - n, r))
+    r_wrap = jnp.clip(r_wrap, 0.0, n)
+    out = (r < 0.0) | (r > n)
+    r_new = jnp.where(per[None, None, :], r_wrap, jnp.clip(r, 0.0, n))
+    dead = jnp.any(out & ~per[None, None, :], axis=-1)
+    return BinnedState(r=r_new, p=st.p, valid=st.valid & ~dead)
+
+
+def bin_state(sp: ParticleArrays, geom: Geometry, slots: int) -> BinnedState:
+    """Initial conversion flat -> persistent binned (init/checkpoint load)."""
+    from ..particles import sort_by_cell_impl
+
+    sp = sort_by_cell_impl(sp, geom)
+    b = bin_sorted(sp, geom, slots)
+    return BinnedState(r=b.r, p=b.p, valid=b.valid)
+
+
+@partial(jax.jit, static_argnames=("geom",))
+def unbin_state(st: BinnedState, geom: Geometry) -> ParticleArrays:
+    """Flatten the binned state to a [G*K]-capacity flat species view
+    (physical coordinates; dead padding masked) for diagnostics,
+    checkpointing and the command layer."""
+    G, K = st.valid.shape
+    d = jnp.asarray(geom.cell_steps, st.r.dtype)
+    return ParticleArrays(
+        r=(st.r * d).reshape(G * K, 3),
+        p=st.p.reshape(G * K, 3),
+        alive=st.valid.reshape(G * K),
+    )

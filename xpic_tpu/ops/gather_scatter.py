@@ -213,16 +213,20 @@ def deposit_vector(values, t, valid, geom: Geometry, *, order: int, width: int,
 
 
 def deposit_scalar(values, t, valid, geom: Geometry, *, order: int, width: int,
-                   anchor: int) -> jnp.ndarray:
-    """Deposit node-centered scalar values; returns [nz, ny, nx].
+                   anchor: int, stag: bool = False) -> jnp.ndarray:
+    """Deposit scalar values; returns [nz, ny, nx].
 
     Counterpart of the density gather in ``ParticlesChargeDensity::collect``
-    (src/diagnostics/charge_conservation.cpp:63-101).
+    (src/diagnostics/charge_conservation.cpp:63-101) when node-centered
+    (``stag=False``), and of the cell-centered moment deposit of
+    ``DistributionMoment::collect`` (src/diagnostics/
+    distribution_moment.cpp:125-155) with ``stag=True`` (weights taken at
+    the half-shifted lattice on every axis).
     """
     masked = jnp.where(valid, values, 0.0)
-    wx = axis_weights(t[..., 0], order, width, anchor, False)
-    wy = axis_weights(t[..., 1], order, width, anchor, False)
-    wz = axis_weights(t[..., 2], order, width, anchor, False)
+    wx = axis_weights(t[..., 0], order, width, anchor, stag)
+    wy = axis_weights(t[..., 1], order, width, anchor, stag)
+    wz = axis_weights(t[..., 2], order, width, anchor, stag)
 
     acc = None
     for oz in range(width):

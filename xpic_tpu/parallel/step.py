@@ -1,9 +1,17 @@
-"""Fused single-jit ECSIM step for compile checks and multi-chip dryruns.
+"""Fused single-jit ECSIM step over the persistent binned particle layout.
 
-Composes the full semi-implicit timestep — drift, bin, mass-matrix
+Composes the full semi-implicit timestep — drift, rebin, mass-matrix
 assembly, GMRES field solve, Boris update, field advance — into one
-jitted function over (fields, particles), with optional sharding
+jitted function over (fields, BinnedState), with optional sharding
 constraints so GSPMD partitions it over a mesh.
+
+The species stays in the padded ``[G, K]`` cell-binned layout across
+steps (ops/binning.BinnedState): one keys-only sort plus one packed
+gather per step is the whole migration cost, replacing the reference's
+per-step ``update_cells`` list splicing (src/interfaces/particles.cpp:79-112).
+Measured on v5e at 32^3 x 50 ppc this halves the step versus the
+flat-primary pipeline (full payload sort + padded-view gather + inverse
+binning).
 """
 
 from __future__ import annotations
@@ -14,7 +22,14 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Geometry
-from ..ops.binning import bin_sorted
+from ..ops.binning import (
+    BinnedState,
+    bin_sorted,
+    bin_state,
+    drift_state,
+    rebin,
+    unbin_state,
+)
 from ..ops.ecsim_blocks import (
     apply_blocks,
     assemble_blocks,
@@ -29,72 +44,59 @@ from ..particles import ParticleArrays, apply_boundaries, sort_by_cell
 from ..pushers import update_vEB
 from ..solvers import gmres
 
+# Pallas routing, resolved once at import (env vars are not part of the
+# jit cache key, so reading them at trace time silently ignores flips
+# after the first compile).  Default is the XLA einsum route: the A/B on
+# a real v5e chip measured it *faster* than the fused Pallas fill at the
+# bench shape (14.8M vs 13.2M particle-steps/s/chip), and pl.pallas_call
+# has no SPMD partitioning rule so it must never be reached by
+# mesh-sharded inputs.  ``XPIC_FORCE_PALLAS=1`` opts in (interpret mode
+# is implied off-TPU so the same flag exercises the kernels in CI).
+import os as _os
+
+_FORCE_PALLAS = _os.environ.get("XPIC_FORCE_PALLAS") == "1"
+
 
 def _pallas_ok(dtype) -> bool:
-    """Route the f32 speed path through the fused Pallas kernels on TPU.
+    return _FORCE_PALLAS and dtype == jnp.float32
 
-    Resolved at trace time (the backend cannot change within a process);
-    ``XPIC_FORCE_PALLAS=1`` / ``XPIC_NO_PALLAS=1`` override for testing.
-    """
-    import os
 
-    if os.environ.get("XPIC_NO_PALLAS") == "1":
-        return False
-    if dtype != jnp.float32:
-        return False
-    if os.environ.get("XPIC_FORCE_PALLAS") == "1":
-        return True
+def _pallas_interpret() -> bool:
     try:
-        plat = jax.devices()[0].platform
-    except Exception:
-        return False
-    return plat in ("tpu", "axon")
+        return jax.devices()[0].platform not in ("tpu", "axon")
+    except Exception:  # pragma: no cover - no backend at all
+        return True
 
 
-@partial(jax.jit,
-         static_argnames=("geom", "slots", "q", "m", "mpw", "maxit"))
-def ecsim_step(E, B, B0, sp: ParticleArrays, geom: Geometry, slots: int,
-               q: float, m: float, mpw: float, maxit: int = 100):
-    """One full ECSIM timestep for a single species, fully fused."""
+def _fill(B, st: BinnedState, t, geom: Geometry, *, q, m, mpw):
+    """currI deposit + matL blocks + the slot weights/B at the particles
+    (fill_ecsim_current, src/impls/ecsim/particles.cpp:33-173)."""
     dt = geom.dt
-    steps, bounds = geom.cell_steps, geom.bounds
-    # f32 cannot reach the f64 parity tolerance of 1e-7 relative
-    # (the reference's KSP budget, ecsim/simulation.h:15-18); the speed
-    # path solves to the dtype's achievable floor instead.
-    if E.dtype == jnp.float32:
-        tol = 1e-5
-    else:
-        tol = 1e-7
-    use_pallas = _pallas_ok(E.dtype)
-
-    # first_push + rebin
-    sp = apply_boundaries(
-        ParticleArrays(r=sp.r + sp.p * dt, p=sp.p, alive=sp.alive), geom
-    )
-    ids = None
-    sp = _sort(sp, geom)
-    binned = bin_sorted(sp, geom, slots)
-    t = cell_t(geom, binned.r)
-
-    # fill currI + matL
-    B_p = gather_vector(B, t, binned.valid, geom, order=1, width=3, anchor=-1,
+    B_p = gather_vector(B, t, st.valid, geom, order=1, width=3, anchor=-1,
                         stagger=B_STAGGER)
-    if use_pallas:
+    if _pallas_ok(B.dtype):
         from ..ops.ecsim_blocks import deposit_slot_sums
         from ..ops.pallas_ecsim import ecsim_fill_pallas
 
-        L, Islot = ecsim_fill_pallas(t, binned.p, B_p, binned.valid,
-                                     q=q, m=m, mpw=mpw, dt=dt)
+        L, Islot = ecsim_fill_pallas(t, st.p, B_p, st.valid,
+                                     q=q, m=m, mpw=mpw, dt=dt,
+                                     interpret=_pallas_interpret())
         currI = deposit_slot_sums(Islot, geom)
         W = None
     else:
         W = s1_slot_weights(t)
-        I_p, M = ecsim_particle_terms(B_p, binned.p, binned.valid,
+        I_p, M = ecsim_particle_terms(B_p, st.p, st.valid,
                                       q=q, m=m, mpw=mpw, dt=dt)
         currI = deposit_slots(I_p, W, geom)
         L = assemble_blocks(W, M)
+    return currI, L, W, B_p
 
-    # advance_fields
+
+def _advance(E, B, B0, currI, L, geom: Geometry, *, tol, maxit):
+    """rhs = 2E - dt currI + dt curl-(B - B0); solve matA Ep = rhs
+    (advance_fields, src/impls/ecsim/simulation.cpp:191-278)."""
+    dt = geom.dt
+    steps, bounds = geom.cell_steps, geom.bounds
     half_dt2 = 0.5 * dt * dt
 
     def matA(x):
@@ -111,36 +113,60 @@ def ecsim_step(E, B, B0, sp: ParticleArrays, geom: Geometry, slots: int,
     if P is not None:
         shift = jnp.einsum("gcici->", L) / (3.0 * geom.n_cells)
         M_inv = lambda v: P(v, shift)  # noqa: E731
-    sol = gmres(matA, rhs, x0=E, rtol=tol, atol=tol, maxit=maxit, M_inv=M_inv)
-    Ep = sol.x
+    return gmres(matA, rhs, x0=E, rtol=tol, atol=tol, maxit=maxit,
+                 M_inv=M_inv)
 
-    # second_push
-    if use_pallas:
+
+def _push(Ep, st: BinnedState, t, W, B_p, geom: Geometry, *, qm):
+    """Boris vEB with s1-interpolated fields at the already-moved
+    positions (second_push, src/impls/ecsim/particles.cpp:175-196)."""
+    if W is None:
         from ..ops.ecsim_blocks import gather_slots
         from ..ops.pallas_ecsim import ecsim_gather_pallas
 
-        E_p = ecsim_gather_pallas(t, gather_slots(Ep, geom))
+        E_p = ecsim_gather_pallas(t, gather_slots(Ep, geom),
+                                  interpret=_pallas_interpret())
     else:
         E_p = gather_slot_fields(Ep, W, geom)
-    E_p = jnp.where(binned.valid[..., None], E_p, 0.0)
-    p1 = update_vEB(dt, q / m, binned.p, E_p, B_p)
-    p1 = jnp.where(binned.valid[..., None], p1, 0.0)
-    from ..ops.binning import scatter_back
+    E_p = jnp.where(st.valid[..., None], E_p, 0.0)
+    p1 = update_vEB(geom.dt, qm, st.p, E_p, B_p)
+    p1 = jnp.where(st.valid[..., None], p1, 0.0)
+    return BinnedState(r=st.r, p=p1, valid=st.valid)
 
-    from ..particles import cell_ids
-    p_new = scatter_back(binned, p1, sp.r.shape[0], ids=cell_ids(sp, geom))
-    sp = ParticleArrays(r=sp.r, p=p_new, alive=sp.alive)
 
-    # final_update
+@partial(jax.jit, static_argnames=("geom", "q", "m", "mpw", "maxit"))
+def ecsim_step_binned(E, B, B0, st: BinnedState, geom: Geometry,
+                      q: float, m: float, mpw: float, maxit: int = 100):
+    """One full ECSIM timestep for a single species, fully fused, over
+    the persistent binned layout."""
+    # f32 cannot reach the f64 parity tolerance of 1e-7 relative
+    # (the reference's KSP budget, ecsim/simulation.h:15-18); the speed
+    # path solves to the dtype's achievable floor instead.
+    tol = 1e-5 if E.dtype == jnp.float32 else 1e-7
+
+    st = rebin(drift_state(st, geom), geom)
+    t = cell_t(geom, st.r)
+    currI, L, W, B_p = _fill(B, st, t, geom, q=q, m=m, mpw=mpw)
+    sol = _advance(E, B, B0, currI, L, geom, tol=tol, maxit=maxit)
+    Ep = sol.x
+    st = _push(Ep, st, t, W, B_p, geom, qm=q / m)
+
     E_new = 2.0 * Ep - E
-    B_new = B - dt * curl_positive(Ep, steps, bounds)
-    return E_new, B_new, sp, currI, sol.iterations
+    B_new = B - geom.dt * curl_positive(Ep, geom.cell_steps, geom.bounds)
+    return E_new, B_new, st, currI, sol.iterations
 
 
-def _sort(sp: ParticleArrays, geom: Geometry) -> ParticleArrays:
-    from ..particles import sort_by_cell_impl
-
-    return sort_by_cell_impl(sp, geom)
+@partial(jax.jit,
+         static_argnames=("geom", "slots", "q", "m", "mpw", "maxit"))
+def ecsim_step(E, B, B0, sp: ParticleArrays, geom: Geometry, slots: int,
+               q: float, m: float, mpw: float, maxit: int = 100):
+    """Flat-species wrapper around :func:`ecsim_step_binned` (kept for
+    the multichip dryrun/tests API; converts at the boundary)."""
+    st = bin_state(sp, geom, slots)
+    E2, B2, st, currI, iters = ecsim_step_binned(
+        E, B, B0, st, geom, q=q, m=m, mpw=mpw, maxit=maxit
+    )
+    return E2, B2, unbin_state(st, geom), currI, iters
 
 
 @partial(jax.jit,
@@ -155,15 +181,18 @@ def ecsim_multi_step(E, B, B0, sp: ParticleArrays, geom: Geometry,
     this path measures/runs pure device throughput with no per-step
     dispatch or host fence (useful on backends with high dispatch
     latency, and the template for long diagnostic-free stretches).
-    Returns the final state and the per-step KSP iteration counts.
+    The species enters flat, runs binned across the scan (no per-step
+    unbinning), and exits flat.  Returns the final state and the
+    per-step KSP iteration counts.
     """
+    st0 = bin_state(sp, geom, slots)
 
     def body(carry, _):
-        E, B, sp = carry
-        E2, B2, sp2, _, iters = ecsim_step(
-            E, B, B0, sp, geom, slots, q=q, m=m, mpw=mpw, maxit=maxit
+        E, B, st = carry
+        E2, B2, st2, _, iters = ecsim_step_binned(
+            E, B, B0, st, geom, q=q, m=m, mpw=mpw, maxit=maxit
         )
-        return (E2, B2, sp2), iters
+        return (E2, B2, st2), iters
 
-    (E, B, sp), iters = jax.lax.scan(body, (E, B, sp), None, length=n_steps)
-    return E, B, sp, iters
+    (E, B, st), iters = jax.lax.scan(body, (E, B, st0), None, length=n_steps)
+    return E, B, unbin_state(st, geom), iters

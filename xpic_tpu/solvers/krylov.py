@@ -101,26 +101,33 @@ def _gmres_cycle(matvec, b, x0, m, target):
         j, V, R, g, cs, sn, _ = state
         w = matvec(V[j])
 
-        # Modified Gram-Schmidt against basis vectors <= j.
-        def mgs(i, wh):
-            w, h = wh
-            hij = jnp.where(i <= j, _dot(V[i], w), 0.0)
-            w = w - hij * V[i]
-            h = h.at[i].set(hij)
-            return (w, h)
-
-        w, h = jax.lax.fori_loop(0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype)))
+        # Re-orthogonalized classical Gram-Schmidt (CGS2) against basis
+        # vectors <= j: two rounds of (all dots as one matmul, one
+        # basis-weighted subtraction).  One MXU pass over the basis per
+        # round instead of m+1 sequential loop trips — the TPU-friendly
+        # replacement for per-vector MGS at equal (re-orthogonalized)
+        # stability.
+        Vf = V.reshape(m + 1, -1)
+        wf = w.reshape(-1)
+        active = (jnp.arange(m + 1) <= j).astype(dtype)
+        h1 = (Vf @ wf) * active
+        wf = wf - Vf.T @ h1
+        h2 = (Vf @ wf) * active
+        wf = wf - Vf.T @ h2
+        h = jnp.zeros(m + 1, dtype) + h1 + h2
+        w = wf.reshape(w.shape)
         hnorm = jnp.sqrt(_dot(w, w))
         V = V.at[j + 1].set(w / jnp.maximum(hnorm, tiny))
 
-        # Apply accumulated rotations to the new column.
+        # Apply accumulated rotations to the new column (sequential by
+        # nature, but only up to column j).
         def rot(i, h):
-            hi = jnp.where(i < j, cs[i] * h[i] + sn[i] * h[i + 1], h[i])
-            hip = jnp.where(i < j, -sn[i] * h[i] + cs[i] * h[i + 1], h[i + 1])
+            hi = cs[i] * h[i] + sn[i] * h[i + 1]
+            hip = -sn[i] * h[i] + cs[i] * h[i + 1]
             return h.at[i].set(hi).at[i + 1].set(hip)
 
         h = h.at[j + 1].set(hnorm)
-        h = jax.lax.fori_loop(0, m, rot, h)
+        h = jax.lax.fori_loop(0, j, rot, h)
 
         # New rotation to annihilate h[j+1].
         denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
