@@ -79,3 +79,30 @@ def test_eccapfim_conservation(tmp_path):
     n2 = crows[:, ch.index("N2dQ_tot")]
     # Path-split implicit Esirkepov conserves charge to roundoff.
     assert np.all(n2 < 1e-9)
+
+
+def test_eccapfim_fast_particle_is_flagged(tmp_path):
+    """A particle moving >= 1 cell/axis/dt must be rejected loudly, never
+    silently lose charge (the reference sub-steps arbitrary crossings
+    with a DDA while-loop, cell_traversal.cpp:3-77; here the fixed
+    4-segment split's domain is guarded instead)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from xpic_tpu.particles import ParticleArrays
+
+    particles_load.seed(556)
+    cfg = make_config(tmp_path)
+    sim = build_simulation(cfg)
+    sim.initialize()
+
+    sp = sim.species[0]
+    arr = sp.arrays
+    p = np.array(arr.p)
+    i = int(np.flatnonzero(np.asarray(arr.alive))[0])
+    p[i] = (1.2, 0.0, 0.0)  # 1.2 c -> 2.4 cells per dt=1.0 along x
+    sp.arrays = ParticleArrays(r=arr.r, p=jnp.asarray(p), alive=arr.alive)
+    sp.count()
+
+    with pytest.raises(RuntimeError, match="cells along one axis|converge"):
+        sim.timestep_implementation(1)

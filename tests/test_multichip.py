@@ -35,6 +35,74 @@ def make_state(seed=0):
     return jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape), sp
 
 
+def _run_sim(tmp_path, scheme, n_devices, steps=5):
+    """Full config-driven run (commands + diagnostics) on a mesh."""
+    from xpic_tpu.commands import particles_load
+    from xpic_tpu.config import Config
+    from xpic_tpu.schemes import build_simulation
+
+    particles_load.seed(7)
+    # dt=1.5 is the semi-implicit selling point; the explicit scheme
+    # needs a CFL-safe step (reference: basic runs its own config).
+    dt = 1.5 if scheme != "basic" else 0.2
+    out = tmp_path / f"out_{scheme}_{n_devices}"
+    doc = {
+        "Simulation": scheme,
+        "OutputDirectory": str(out),
+        "Mesh": n_devices,
+        "Geometry": {
+            "x": 4.0, "y": 4.0, "z": 4.0, "t": steps * dt,
+            "dx": 0.5, "dy": 0.5, "dz": 0.5, "dt": dt,
+            "diagnose_period": 1,
+            "da_boundary_x": "DM_BOUNDARY_PERIODIC",
+            "da_boundary_y": "DM_BOUNDARY_PERIODIC",
+            "da_boundary_z": "DM_BOUNDARY_PERIODIC",
+        },
+        "Particles": [
+            {"sort_name": "electrons", "Np": 10, "n": 1.0, "q": -1.0,
+             "m": 1.0, "T": 0.1}
+        ],
+        "Presets": [
+            {"command": "SetParticles", "particles": "electrons",
+             "coordinate": {"name": "CoordinateInBox"},
+             "momentum": {"name": "MaxwellianMomentum", "tov": True}},
+        ],
+    }
+    sim = build_simulation(Config.from_json(doc))
+    sim.initialize()
+    sim.calculate()
+    sim.finalize()
+    return out
+
+
+def _read_table(path):
+    with open(path) as fh:
+        header = fh.readline().split()
+        rows = np.loadtxt(fh)
+    if rows.ndim == 1:
+        rows = rows[None, :]
+    return header, rows
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("scheme", ["ecsim", "basic"])
+def test_full_simulation_decomposition_invariance(tmp_path, scheme):
+    """The reference's distributed bar: the same run under a different
+    decomposition must reproduce the identical temporal tables
+    (tests/ecsim/CMakeLists.txt:16-18 re-runs the golden test under
+    ``mpiexec -np 2 -da_processors_x 2``).  Here: the full config-driven
+    production path — commands, scheme step, diagnostics — on 1 device
+    vs the 8-device mesh."""
+    out1 = _run_sim(tmp_path, scheme, 1)
+    out8 = _run_sim(tmp_path, scheme, 8)
+    for table in ("energy_conservation.txt", "charge_conservation.txt"):
+        h1, rows1 = _read_table(out1 / "temporal" / table)
+        h8, rows8 = _read_table(out8 / "temporal" / table)
+        assert h1 == h8
+        np.testing.assert_allclose(rows1, rows8, rtol=0, atol=1e-11,
+                                   err_msg=f"{scheme}:{table}")
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_ecsim_step_decomposition_invariance():
     E, B, B0, sp = make_state()

@@ -87,3 +87,5 @@ class InjectParticles:
         self.energy_e = kinetic(self.ejected.params, pe)
         self.ionized.arrays = P.append(self.ionized.arrays, coords, pi)
         self.ejected.arrays = P.append(self.ejected.arrays, coords, pe)
+        self.ionized.n += coords.shape[0]
+        self.ejected.n += coords.shape[0]

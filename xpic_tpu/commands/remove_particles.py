@@ -62,6 +62,7 @@ class RemoveParticles:
         self.species.arrays = ParticleArrays(
             r=arr.r, p=arr.p, alive=jnp.asarray(alive)
         )
+        self.species.n = int(alive.sum())
         log.info(
             "  Removed %d particles from %r (energy %.4e)",
             int(remove.sum()), params.sort_name, self.removed_energy,

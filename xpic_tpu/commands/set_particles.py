@@ -46,6 +46,7 @@ class SetParticles:
             moms = self.gen_momentum(coords)
         before = kinetic_energy(self.species.arrays, self.species.params)
         self.species.arrays = P.append(self.species.arrays, coords, moms)
+        self.species.n += coords.shape[0]
         after = kinetic_energy(self.species.arrays, self.species.params)
         self.added_energy = float(after - before)
         log.info(

@@ -277,10 +277,17 @@ class Config:
     diagnostics: tuple[Mapping[str, Any], ...] = ()
     backup: Mapping[str, Any] | None = None
     raw: Mapping[str, Any] | None = None
+    # Number of devices to shard the run over (the analog of the
+    # reference's mpiexec -n N + -da_processors_* decomposition options,
+    # src/utils/world.cpp:36-46).  1 = unsharded single chip.
+    n_devices: int = 1
 
     @staticmethod
     def from_json(doc: Mapping[str, Any]) -> "Config":
         geometry = geometry_from_json(doc["Geometry"])
+        mesh_doc = doc.get("Mesh", 1)
+        if isinstance(mesh_doc, Mapping):
+            mesh_doc = mesh_doc.get("devices", 1)
         return Config(
             scheme=str(doc["Simulation"]),
             out_dir=str(doc.get("OutputDirectory", "results/out")),
@@ -291,6 +298,7 @@ class Config:
             diagnostics=tuple(doc.get("Diagnostics", ())),
             backup=doc.get("SimulationBackup"),
             raw=doc,
+            n_devices=int(mesh_doc),
         )
 
     @staticmethod

@@ -17,19 +17,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Geometry
-from ..ops.binning import bin_sorted
 from ..ops.gather_scatter import cell_t, deposit_scalar
 from ..ops.stencil import divergence_negative
 from .tables import TableDiagnostic
 
 
-@partial(jax.jit, static_argnames=("geom", "slots", "qn_Np"))
-def charge_density(sp, geom: Geometry, slots: int, qn_Np: float):
-    """Node-centered charge density of one (cell-sorted) species."""
-    binned = bin_sorted(sp, geom, slots)
-    t = cell_t(geom, binned.r)
-    values = jnp.full(binned.valid.shape, qn_Np, dtype=binned.r.dtype)
-    return deposit_scalar(values, t, binned.valid, geom, order=2, width=4, anchor=-1)
+@partial(jax.jit, static_argnames=("geom", "qn_Np"))
+def charge_density(st, geom: Geometry, qn_Np: float):
+    """Node-centered charge density of one binned species state."""
+    t = cell_t(geom, st.r)
+    values = jnp.full(st.valid.shape, qn_Np, dtype=st.r.dtype)
+    return deposit_scalar(values, t, st.valid, geom, order=2, width=4, anchor=-1)
 
 
 @partial(jax.jit, static_argnames=("geom",))
@@ -50,7 +48,7 @@ class ChargeConservation:
     def _collect(self, i):
         sim = self.simulation
         sp = sim.species[i]
-        return charge_density(sp.arrays, sim.geom, max(sp.slots, 8),
+        return charge_density(sim.binned(sp), sim.geom,
                               sp.params.q * sp.params.n_Np)
 
     def diagnose(self, t: int) -> None:

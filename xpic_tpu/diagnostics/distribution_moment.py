@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Geometry
-from ..ops.binning import bin_sorted
 from ..ops.gather_scatter import cell_t, deposit_scalar
 from .field_view import format_time
 
@@ -113,20 +112,19 @@ class DistributionMoment:
         params = self.species.params
         moment = self.moment
 
-        @partial(jax.jit, static_argnames=("slots",))
-        def collect(arrays, slots: int):
-            binned = bin_sorted(arrays, geom, slots)
-            t = cell_t(geom, binned.r)
-            d = jnp.asarray(geom.cell_steps, binned.r.dtype)
+        @jax.jit
+        def collect(st):
+            t = cell_t(geom, st.r)
+            d = jnp.asarray(geom.cell_steps, st.r.dtype)
             vals = _moment_values(
-                moment, params, binned.r * d, binned.p, geom.Lx, geom.Ly
+                moment, params, st.r * d, st.p, geom.Lx, geom.Ly
             )
             outs = []
             for j in range(vals.shape[-1]):
                 outs.append(
                     deposit_scalar(
                         vals[..., j] * params.n_Np,
-                        t, binned.valid, geom, order=1, width=3, anchor=-1,
+                        t, st.valid, geom, order=1, width=3, anchor=-1,
                         stag=True,
                     )
                 )
@@ -141,7 +139,7 @@ class DistributionMoment:
         if t % sim.geom.diagnose_period != 0:
             return
         data = np.asarray(
-            self._collect(self.species.arrays, max(self.species.slots, 8)),
+            self._collect(self.simulation.binned(self.species)),
             dtype=np.float32,
         )
         if self.region is not None:

@@ -17,20 +17,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Geometry
-from ..ops.binning import bin_sorted
 from ..ops.gather_scatter import E_STAGGER, cell_t, gather_vector
 from .tables import TableDiagnostic
 
 PETSC_SMALL = 1e-10
 
 
-@partial(jax.jit, static_argnames=("geom", "slots"))
-def _momentum_and_impulse(E, sp, geom: Geometry, slots: int):
-    binned = bin_sorted(sp, geom, slots)
-    t = cell_t(geom, binned.r)
-    E_p = gather_vector(E, t, binned.valid, geom, order=2, width=4, anchor=-1,
+@partial(jax.jit, static_argnames=("geom",))
+def _momentum_and_impulse(E, st, geom: Geometry):
+    t = cell_t(geom, st.r)
+    E_p = gather_vector(E, t, st.valid, geom, order=2, width=4, anchor=-1,
                         stagger=E_STAGGER)
-    P = jnp.sum(jnp.where(binned.valid[..., None], binned.p, 0.0), axis=(0, 1))
+    P = jnp.sum(jnp.where(st.valid[..., None], st.p, 0.0), axis=(0, 1))
     QE = jnp.sum(E_p, axis=(0, 1))
     return P, QE
 
@@ -50,9 +48,7 @@ class MomentumConservation:
     def _calculate(self):
         sim = self.simulation
         for i, sp in enumerate(sim.species):
-            P, QE = _momentum_and_impulse(
-                sim.E, sp.arrays, sim.geom, max(sp.slots, 8)
-            )
+            P, QE = _momentum_and_impulse(sim.E, sim.binned(sp), sim.geom)
             Np = sp.params.Np
             self.P1[i] = np.asarray(P) * (sp.params.m / Np)
             self.QE[i] = np.asarray(QE) * (sp.params.q / Np)

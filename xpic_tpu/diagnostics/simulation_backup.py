@@ -127,7 +127,10 @@ class SimulationBackup:
         g = sim.geom
         for name in ("E", "B", "B0"):
             data = read_vec(os.path.join(d, name)).reshape(g.nz, g.ny, g.nx, 3)
-            setattr(sim, name, jnp.asarray(np.moveaxis(data, -1, 0)))
+            # _shard_field re-places the array on the run's mesh — the
+            # resharding-on-load capability of the reference's backup
+            # (simulation_backup.cpp:132-158: same files, any decomposition).
+            setattr(sim, name, sim._shard_field(jnp.asarray(np.moveaxis(data, -1, 0))))
 
         for sp in sim.species:
             fname = os.path.join(d, sp.params.sort_name)
@@ -135,6 +138,7 @@ class SimulationBackup:
                 (numparts,) = struct.unpack(">i", fh.read(4))
             rec = np.fromfile(fname, dtype=np.float64).reshape(numparts, 6)
             sp.arrays = from_numpy(rec[:, :3], rec[:, 3:])
+            sp.n = numparts
         sim.rebin_all()
 
         src = os.path.join(d, "temporal")

@@ -196,8 +196,7 @@ def state_cell_ids(st: BinnedState, geom: Geometry) -> jax.Array:
     return jnp.where(st.valid, flat, geom.n_cells).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))
-def rebin(st: BinnedState, geom: Geometry) -> BinnedState:
+def _rebin_core(st: BinnedState, geom: Geometry):
     """Re-sort a drifted binned state into its new cells.
 
     One (id, slot)-keyed sort of the flat slot ids plus a single packed
@@ -206,9 +205,10 @@ def rebin(st: BinnedState, geom: Geometry) -> BinnedState:
     tiebreaker makes the permutation unique, so per-cell deposit order
     is reproducible across runs and decompositions.
 
-    Returns the new state plus nothing else; overflow beyond K slots in
-    a cell is *dropped* — check :func:`rebin_overflow` when capacity is
-    in doubt (the schemes surface it like solver non-convergence).
+    Returns ``(state, load)`` where ``load = [max_per_cell, dropped]``
+    (int32): the maximum true occupancy of any cell before padding, and
+    the number of live particles dropped because their destination cell
+    exceeded the K slots.
     """
     G, K = st.valid.shape
     NK = G * K
@@ -230,6 +230,9 @@ def rebin(st: BinnedState, geom: Geometry) -> BinnedState:
     seg = jnp.searchsorted(s_ids, jnp.arange(G + 1, dtype=jnp.int32)).astype(
         jnp.int32
     )
+    counts = seg[1:] - seg[:G]
+    load = jnp.stack([jnp.max(counts), jnp.sum(jnp.maximum(counts - K, 0))])
+
     k = jnp.arange(K, dtype=jnp.int32)[None, :]
     pos = seg[:G, None] + k
     valid = pos < seg[1:, None]
@@ -239,7 +242,48 @@ def rebin(st: BinnedState, geom: Geometry) -> BinnedState:
     center = _cell_centers(geom, st.r.dtype)
     r = jnp.where(valid[..., None], r, center)
     p = jnp.where(valid[..., None], p, 0.0)
-    return BinnedState(r=r, p=p, valid=valid)
+    return BinnedState(r=r, p=p, valid=valid), load
+
+
+@partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))
+def rebin(st: BinnedState, geom: Geometry) -> BinnedState:
+    """:func:`_rebin_core` without the occupancy info (XLA removes the
+    dead reductions); overflow beyond K slots in a cell is *dropped* —
+    use :func:`rebin_checked` when capacity is in doubt."""
+    return _rebin_core(st, geom)[0]
+
+
+@partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))
+def rebin_checked(st: BinnedState, geom: Geometry):
+    """:func:`rebin` plus the occupancy ``load = [max_per_cell, dropped]``.
+
+    The schemes check ``dropped == 0`` at their existing host sync point
+    (the solver-convergence fetch) and use ``max_per_cell`` to grow K
+    proactively — the TPU counterpart of the reference's unbounded
+    ``std::list`` cells, which can never overflow
+    (src/interfaces/particles.h:32).
+    """
+    return _rebin_core(st, geom)
+
+
+def wrap_state(st: BinnedState, geom: Geometry) -> BinnedState:
+    """Apply the global coordinate boundaries (periodic wrap / open kill)
+    to possibly-out-of-domain positions without moving the particles.
+    Plain (unjitted) — composes inside the scheme kernels."""
+    return _drift_impl(st, geom, 0.0)
+
+
+def migrate_checked(st: BinnedState, geom: Geometry):
+    """Boundary map + checked rebin: the full per-step migration.
+    Plain (unjitted) — composes inside the scheme kernels."""
+    return _rebin_core(wrap_state(st, geom), geom)
+
+
+def kinetic_energy_state(st: BinnedState, m_mpw: float) -> jax.Array:
+    """0.5 * m * mpw * sum |p|^2 over live slots (Energy::get_kinetic,
+    src/diagnostics/energy.cpp:215-218)."""
+    w = jnp.where(st.valid, jnp.sum(st.p * st.p, axis=-1), 0.0)
+    return 0.5 * m_mpw * jnp.sum(w)
 
 
 @partial(jax.jit, static_argnames=("geom",))
@@ -252,8 +296,7 @@ def rebin_overflow(st: BinnedState, geom: Geometry) -> jax.Array:
     return jnp.sum(jnp.maximum(counts[:G] - K, 0))
 
 
-@partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))
-def drift_state(st: BinnedState, geom: Geometry, dt: float | None = None
+def _drift_impl(st: BinnedState, geom: Geometry, dt: float | None = None
                 ) -> BinnedState:
     """r += v dt in grid units, with the global coordinate boundaries
     (periodic wrap / open kill) applied (interfaces/point.cpp:3-26)."""
@@ -268,6 +311,10 @@ def drift_state(st: BinnedState, geom: Geometry, dt: float | None = None
     r_new = jnp.where(per[None, None, :], r_wrap, jnp.clip(r, 0.0, n))
     dead = jnp.any(out & ~per[None, None, :], axis=-1)
     return BinnedState(r=r_new, p=st.p, valid=st.valid & ~dead)
+
+
+drift_state = partial(jax.jit, static_argnames=("geom",),
+                      donate_argnums=(0,))(_drift_impl)
 
 
 def bin_state(sp: ParticleArrays, geom: Geometry, slots: int) -> BinnedState:

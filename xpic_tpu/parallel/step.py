@@ -68,7 +68,7 @@ def _pallas_interpret() -> bool:
         return True
 
 
-def _fill(B, st: BinnedState, t, geom: Geometry, *, q, m, mpw):
+def fill_phase(B, st: BinnedState, t, geom: Geometry, *, q, m, mpw):
     """currI deposit + matL blocks + the slot weights/B at the particles
     (fill_ecsim_current, src/impls/ecsim/particles.cpp:33-173)."""
     dt = geom.dt
@@ -92,7 +92,7 @@ def _fill(B, st: BinnedState, t, geom: Geometry, *, q, m, mpw):
     return currI, L, W, B_p
 
 
-def _advance(E, B, B0, currI, L, geom: Geometry, *, tol, maxit):
+def advance_phase(E, B, B0, currI, L, geom: Geometry, *, tol, maxit):
     """rhs = 2E - dt currI + dt curl-(B - B0); solve matA Ep = rhs
     (advance_fields, src/impls/ecsim/simulation.cpp:191-278)."""
     dt = geom.dt
@@ -117,7 +117,7 @@ def _advance(E, B, B0, currI, L, geom: Geometry, *, tol, maxit):
                  M_inv=M_inv)
 
 
-def _push(Ep, st: BinnedState, t, W, B_p, geom: Geometry, *, qm):
+def push_phase(Ep, st: BinnedState, t, W, B_p, geom: Geometry, *, qm):
     """Boris vEB with s1-interpolated fields at the already-moved
     positions (second_push, src/impls/ecsim/particles.cpp:175-196)."""
     if W is None:
@@ -146,10 +146,10 @@ def ecsim_step_binned(E, B, B0, st: BinnedState, geom: Geometry,
 
     st = rebin(drift_state(st, geom), geom)
     t = cell_t(geom, st.r)
-    currI, L, W, B_p = _fill(B, st, t, geom, q=q, m=m, mpw=mpw)
-    sol = _advance(E, B, B0, currI, L, geom, tol=tol, maxit=maxit)
+    currI, L, W, B_p = fill_phase(B, st, t, geom, q=q, m=m, mpw=mpw)
+    sol = advance_phase(E, B, B0, currI, L, geom, tol=tol, maxit=maxit)
     Ep = sol.x
-    st = _push(Ep, st, t, W, B_p, geom, qm=q / m)
+    st = push_phase(Ep, st, t, W, B_p, geom, qm=q / m)
 
     E_new = 2.0 * Ep - E
     B_new = B - geom.dt * curl_positive(Ep, geom.cell_steps, geom.bounds)

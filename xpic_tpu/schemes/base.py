@@ -5,6 +5,13 @@ initialize -> build commands/diagnostics -> run presets -> main loop of
 [step-presets, timestep_implementation, diagnostics].  The per-step
 physics lives in jitted functions owned by each scheme; everything here
 is glue that runs on the host between steps.
+
+Distribution: when the config requests more than one device (``"Mesh"``
+key — the analog of ``mpiexec -n N -da_processors_*``,
+src/utils/world.cpp:36-46), fields are placed with a z-sharded layout
+and species with the aligned cell-axis sharding at initialization; all
+scheme kernels are written in global semantics, so GSPMD partitions the
+same jitted step over the mesh (SURVEY §2.7).
 """
 
 from __future__ import annotations
@@ -14,26 +21,116 @@ import os
 import time
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config, Geometry, SortParameters
-from ..particles import ParticleArrays, make_empty, sort_by_cell
-from ..ops.binning import bin_sorted, choose_slots, max_per_cell
+from ..config import Config, Geometry, SortParameters, PERIODIC
+from ..particles import ParticleArrays, make_empty
+from ..ops.binning import (
+    BinnedState,
+    bin_state,
+    choose_slots,
+    max_per_cell,
+    unbin_state,
+)
 
 log = logging.getLogger("xpic")
 
 
 class Species:
-    """Host wrapper pairing static sort parameters with the device arrays."""
+    """Host wrapper pairing static sort parameters with the device arrays.
 
-    def __init__(self, params: SortParameters, arrays: ParticleArrays):
+    Storage is dual: the *binned* ``BinnedState`` ([G, K] padded per-cell
+    layout — what every scheme kernel consumes, the TPU counterpart of the
+    reference's ``std::vector<std::list<Point>>``, src/interfaces/particles.h:32)
+    and the *flat* ``ParticleArrays`` view (what the command layer and
+    checkpointing consume).  Whichever side was written last is
+    authoritative; the other is derived lazily.
+    """
+
+    def __init__(self, params: SortParameters, arrays: ParticleArrays,
+                 geom: Geometry, mesh=None):
         self.params = params
-        self.arrays = arrays
+        self.geom = geom
+        self.mesh = mesh
+        self._flat: ParticleArrays | None = arrays
+        self._binned: BinnedState | None = None
         self.slots = 0  # current binned per-cell capacity (K)
+        # Host-tracked particle count: commands update it exactly; open
+        # boundaries may kill particles, in which case the owning scheme
+        # refreshes it (used only to skip work for empty species, so a
+        # stale over-estimate is harmless).
+        self.n = 0
+
+    # -- flat view ------------------------------------------------------
+    @property
+    def arrays(self) -> ParticleArrays:
+        """Flat [C] view.  When derived from the binned state it is
+        cell-major with dead padding interleaved (masked by ``alive``) —
+        safe for reductions/dumps, NOT sorted for ``bin_sorted``."""
+        if self._flat is None:
+            self._flat = unbin_state(self._binned, self.geom)
+        return self._flat
+
+    @arrays.setter
+    def arrays(self, value: ParticleArrays) -> None:
+        self._flat = value
+        self._binned = None
+
+    # -- binned view ------------------------------------------------------
+    @property
+    def state(self) -> BinnedState:
+        if self._binned is None:
+            k = max_per_cell(self._flat, self.geom)
+            # Headroom above the observed max load: cells keep churning
+            # particles, and a checked rebin treats overflow as a hard
+            # error (the proactive growth in check_load needs slack to
+            # act before any drop can happen).
+            slots = choose_slots(max(k, 1) + max(4, k // 8))
+            if slots > self.slots or slots * 2 < self.slots:
+                self.slots = slots
+            st = bin_state(self._flat, self.geom, self.slots)
+            self._binned = self._shard_state(st)
+        return self._binned
+
+    @state.setter
+    def state(self, st: BinnedState) -> None:
+        self._binned = st
+        self.slots = st.slots
+        self._flat = None
+
+    def _shard_state(self, st: BinnedState) -> BinnedState:
+        if self.mesh is None:
+            return st
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s2 = NamedSharding(self.mesh, P("z", None))
+        s3 = NamedSharding(self.mesh, P("z", None, None))
+        return BinnedState(
+            r=jax.device_put(st.r, s3),
+            p=jax.device_put(st.p, s3),
+            valid=jax.device_put(st.valid, s2),
+        )
+
+    def grow_slots(self, k_needed: int) -> None:
+        """Grow the per-cell capacity to hold ``k_needed`` (between steps;
+        triggers one retrace of the step at the new K)."""
+        new_slots = choose_slots(k_needed)
+        if new_slots <= self.slots:
+            return
+        flat = self.arrays  # materialize from the current binned state
+        self.slots = new_slots
+        self._binned = self._shard_state(bin_state(flat, self.geom, new_slots))
+        self._flat = None
 
     def count(self) -> int:
-        return int(np.asarray(self.arrays.alive).sum())
+        """Exact live count (device sync)."""
+        if self._binned is not None:
+            self.n = int(np.asarray(jnp.sum(self._binned.valid)))
+        else:
+            self.n = int(np.asarray(self._flat.alive).sum())
+        return self.n
 
 
 class Simulation:
@@ -48,18 +145,39 @@ class Simulation:
         self.step_presets: list[Any] = []
         self.timings: dict[str, float] = {}
 
+        self.mesh = None
+        if cfg.n_devices > 1:
+            from ..parallel import mesh as pm
+
+            if len(jax.devices()) < cfg.n_devices:
+                raise RuntimeError(
+                    f"config requests {cfg.n_devices} devices, "
+                    f"only {len(jax.devices())} available"
+                )
+            self.mesh = pm.make_mesh(cfg.n_devices)
+
         g = self.geom
         shape = (3, g.nz, g.ny, g.nx)
-        self.E = jnp.zeros(shape)
-        self.B = jnp.zeros(shape)
-        self.B0 = jnp.zeros(shape)
-        self.J = jnp.zeros(shape)
+        self.E = self._shard_field(jnp.zeros(shape))
+        self.B = self._shard_field(jnp.zeros(shape))
+        self.B0 = self._shard_field(jnp.zeros(shape))
+        self.J = self._shard_field(jnp.zeros(shape))
+
+    def _shard_field(self, F):
+        if self.mesh is None:
+            return F
+        from ..parallel.mesh import field_sharding
+
+        return jax.device_put(F, field_sharding(self.mesh))
 
     # -- lifecycle ----------------------------------------------------
     def initialize(self) -> None:
         os.makedirs(os.path.join(self.cfg.out_dir, "temporal"), exist_ok=True)
         for params in self.cfg.sorts:
-            self.species.append(Species(params, make_empty(256)))
+            self.species.append(
+                Species(params, make_empty(256), self.geom, self.mesh)
+            )
+            self._log_cfl(params)
         self.initialize_implementation()
 
         from ..commands import build_commands
@@ -75,6 +193,8 @@ class Simulation:
         for preset in presets:
             preset.execute(self.start)
         self.rebin_all()
+        for sp in self.species:
+            sp.count()  # seed the host-tracked counts
 
         for diag in self.diagnostics:
             diag.diagnose(self.start)
@@ -105,22 +225,65 @@ class Simulation:
                 diag.finalize()
 
     # -- helpers ------------------------------------------------------
+    def _log_cfl(self, params: SortParameters) -> None:
+        """Thermal-CFL guard at species init: log how many cells a
+        thermal particle crosses per dt (the reference's species-init
+        check, src/interfaces/simulation.tpp:68-77).  Sub-cell kernels
+        (Esirkepov width-6 windows, eccapfim's 4-segment split) assume
+        < 1 cell per dt per axis."""
+        from ..config import thermal_velocity
+
+        T = max(params.Tx, params.Ty, params.Tz)
+        if T <= 0.0 or params.m <= 0.0:
+            return
+        v_th = thermal_velocity(T, params.m)
+        g = self.geom
+        cells = v_th * g.dt / min(g.dx, g.dy, g.dz)
+        log.info(
+            "  %s: thermal velocity %.3e [c], crosses %.3f cells per dt",
+            params.sort_name, v_th, cells,
+        )
+        if cells > 1.0:
+            log.warning(
+                "  %s: v_th dt/dx = %.2f > 1 — deposits assume sub-cell "
+                "moves per step; reduce dt or expect flagged errors",
+                params.sort_name, cells,
+            )
+
     def rebin_all(self) -> None:
-        """Sort species by cell and refresh the per-cell capacity K.
-
-        Replaces ``update_cells_*`` (src/interfaces/particles.cpp:79-248);
-        K only grows (or shrinks when the max load halves) to keep jit
-        caches stable.
-        """
+        """Ensure every species' binned state is fresh (the analog of
+        ``update_cells_*``, src/interfaces/particles.cpp:79-248).  With
+        dual storage this is just forcing the lazy flat->binned
+        conversion; scheme steps migrate the binned state in-place."""
         for sp in self.species:
-            sp.arrays = sort_by_cell(sp.arrays, self.geom)
-            k = max_per_cell(sp.arrays, self.geom)
-            slots = choose_slots(max(k, 1))
-            if slots > sp.slots or slots * 2 < sp.slots:
-                sp.slots = slots
+            sp.state  # noqa: B018 — property access triggers the rebin
 
-    def binned(self, sp: Species):
-        return bin_sorted(sp.arrays, self.geom, sp.slots)
+    def check_load(self, sp: Species, load) -> None:
+        """Police the per-cell capacity after a checked rebin.
+
+        ``load = [max_per_cell, dropped]``.  Any dropped particle is a
+        hard error (the reference's list cells cannot overflow); a cell
+        within 2 of capacity grows K for the next step.
+        """
+        max_load, dropped = (int(v) for v in np.asarray(load))
+        if dropped:
+            raise RuntimeError(
+                f"species {sp.params.sort_name!r}: {dropped} particles "
+                f"dropped — per-cell capacity K={sp.slots} exceeded "
+                f"(max load {max_load}); increase capacity headroom"
+            )
+        if max_load > sp.slots - 4:
+            sp.grow_slots(max_load + 8)
+
+    def binned(self, sp: Species) -> BinnedState:
+        return sp.state
+
+    def refresh_counts(self) -> None:
+        """Re-sync host particle counts after a phase that may kill
+        particles (open boundaries)."""
+        if any(b != PERIODIC for b in self.geom.bounds):
+            for sp in self.species:
+                sp.count()
 
     def get_named_particles(self, name: str) -> Species:
         for sp in self.species:

@@ -10,8 +10,8 @@ src/impls/basic/particles.cpp:17-56.  One timestep:
 2. ``push_fields``: B^{n+1/2} = B^n - (dt/2) curl+ E^n;
    E^{n+1} = E^n + dt curl- B^{n+1/2} - dt J.
 
-The whole step is one jitted function over the field/species pytrees;
-per-species work runs in the padded cell-binned layout.
+Species live in the persistent cell-binned ``BinnedState``; the push
+kernel ends with the capacity-checked migration.
 """
 
 from __future__ import annotations
@@ -20,10 +20,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from ..config import Config, Geometry
-from ..ops.binning import BinnedSpecies, bin_sorted, scatter_back
+from ..config import Geometry
+from ..ops.binning import BinnedState, migrate_checked
 from ..ops.gather_scatter import (
     B_STAGGER,
     E_STAGGER,
@@ -32,21 +31,20 @@ from ..ops.gather_scatter import (
     gather_vector,
 )
 from ..ops.stencil import curl_negative, curl_positive
-from ..particles import ParticleArrays, apply_boundaries, cell_ids
 from ..pushers import update_vEB
-from .base import Simulation, Species
+from .base import Simulation
 
 
-@partial(jax.jit, static_argnames=("geom", "qm", "alpha", "slots"))
-def _push_species(E, B, sp: ParticleArrays, geom: Geometry, qm: float,
-                  alpha: float, slots: int):
-    """Boris push + Esirkepov deposit for one species; returns (sp', J_s)."""
+@partial(jax.jit, static_argnames=("geom", "qm", "alpha"), donate_argnums=(2,))
+def _push_species(E, B, st: BinnedState, geom: Geometry, qm: float,
+                  alpha: float):
+    """Boris push + Esirkepov deposit for one species;
+    returns (st', J_s, load)."""
     dt = geom.dt
-    d = jnp.asarray(geom.cell_steps, dtype=sp.r.dtype)
-    binned = bin_sorted(sp, geom, slots)
+    d = jnp.asarray(geom.cell_steps, dtype=st.r.dtype)
 
-    rg0 = binned.r  # [G, K, 3] in grid units, binned by the cell of rg0
-    p0 = binned.p
+    rg0 = st.r  # [G, K, 3] in grid units, binned by the cell of rg0
+    p0 = st.p
     v_over_d = p0 / d
 
     # Half drift, gather fields at the mid position, rotate, half drift.
@@ -54,26 +52,22 @@ def _push_species(E, B, sp: ParticleArrays, geom: Geometry, qm: float,
     t_half = cell_t(geom, rg_half)
     # Anchor -2/width 6 tolerates up to one cell of drift off the binning
     # cell (the reference re-anchors per particle, src/utils/shape.cpp:31-41).
-    E_p = gather_vector(E, t_half, binned.valid, geom, order=2, width=6,
+    E_p = gather_vector(E, t_half, st.valid, geom, order=2, width=6,
                         anchor=-2, stagger=E_STAGGER)
-    B_p = gather_vector(B, t_half, binned.valid, geom, order=2, width=6,
+    B_p = gather_vector(B, t_half, st.valid, geom, order=2, width=6,
                         anchor=-2, stagger=B_STAGGER)
     p1 = update_vEB(dt, qm, p0, E_p, B_p)
-    p1 = jnp.where(binned.valid[..., None], p1, 0.0)
+    p1 = jnp.where(st.valid[..., None], p1, 0.0)
     rg1 = rg_half + (p1 / d) * (0.5 * dt)
 
-    t0 = cell_t(geom, rg0)
-    t1 = cell_t(geom, rg1)
-    J_s = esirkepov_current(t0, t1, binned.valid, alpha, geom)
-
-    n = sp.r.shape[0]
-    ids = cell_ids(sp, geom)
-    r_new = scatter_back(binned, rg1 * d, n, ids=ids)
-    p_new = scatter_back(binned, p1, n, ids=ids)
-    sp_new = apply_boundaries(
-        ParticleArrays(r=r_new, p=p_new, alive=sp.alive), geom
+    J_s = esirkepov_current(
+        cell_t(geom, rg0), cell_t(geom, rg1), st.valid, alpha, geom
     )
-    return sp_new, J_s
+
+    st2, load = migrate_checked(
+        BinnedState(r=rg1, p=p1, valid=st.valid), geom
+    )
+    return st2, J_s, load
 
 
 @partial(jax.jit, static_argnames=("geom",))
@@ -103,30 +97,29 @@ class BasicSimulation(Simulation):
 
     def timestep_implementation(self, t: int) -> None:
         geom = self.geom
-        # Invariant: species arrays are cell-sorted here (initialize() and
-        # the tail of every step rebin), as bin_sorted requires.
 
         # B^{n-1/2} -> B^{n} for the particle push.
         self.B = _half_rotation(self.E, self.B, self.B0, geom)
 
         J = jnp.zeros_like(self.J)
+        loads = []
         for sp in self.species:
-            if sp.count() == 0:
+            if sp.n == 0:
                 sp.J = jnp.zeros_like(self.J)
                 continue
             alpha = sp.params.q * sp.params.n_Np / (6.0 * geom.dt)
-            sp.arrays, J_s = _push_species(
-                self.E, self.B, sp.arrays, geom, sp.params.qm, alpha, sp.slots
+            sp.state, J_s, load = _push_species(
+                self.E, self.B, sp.state, geom, sp.params.qm, alpha
             )
             sp.J = J_s
             J = J + J_s
+            loads.append((sp, load))
         self.J = J
 
         self.E, self.B, self._dE_norm = _push_fields(
             self.E, self.B, self.B0, self.J, geom
         )
 
-        # Re-sort by cell so diagnostics (and the next step) see a
-        # correctly binned view — the reference's update_cells()
-        # (basic/simulation.cpp:66).
-        self.rebin_all()
+        for sp, load in loads:
+            self.check_load(sp, load)
+        self.refresh_counts()

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Geometry
-from ..ops.binning import bin_sorted, scatter_back
+from ..ops.binning import BinnedState, migrate_checked
 from ..ops.gather_scatter import cell_t
 from ..ops.implicit_esirkepov import (
     MAXSEG,
@@ -53,7 +53,6 @@ from ..ops.implicit_esirkepov import (
     split_segments,
 )
 from ..ops.stencil import curl_negative, curl_positive
-from ..particles import ParticleArrays, apply_boundaries, cell_ids
 from ..solvers import anderson_solve
 from .base import Simulation
 
@@ -139,20 +138,23 @@ def _cn_sweep(Eblk, Bblk, t0, p0, valid, dt, qm, d_steps):
     return tn, pn, vh, it, active
 
 
-@partial(jax.jit,
-         static_argnames=("geom", "slots", "qm", "a0"))
-def _form_species(E_hk, B, sp_prev: ParticleArrays, geom: Geometry,
-                  slots: int, qm: float, a0: float):
-    """One species' contribution to J(E_hk) plus its updated state."""
-    binned = bin_sorted(sp_prev, geom, slots)
-    t0 = cell_t(geom, binned.r)
-    d_steps = jnp.asarray(geom.cell_steps, dtype=E_hk.dtype)
+@partial(jax.jit, static_argnames=("geom", "qm", "a0"))
+def _form_species(E_hk, B, st: BinnedState, geom: Geometry,
+                  qm: float, a0: float):
+    """One species' contribution to J(E_hk) plus its updated state.
+
+    ``st`` is the start-of-step binned state (the ``previous_storage``
+    analog, eccapfim/particles.h:28-30) — it stays fixed across residual
+    evaluations; only the returned candidate state moves.
+    """
+    t0 = cell_t(geom, st.r)
 
     Eblk = gather_window_blocks(E_hk, geom)
     Bblk = gather_window_blocks(B, geom)
 
     tn, pn, vh, iters, nonconv = _cn_sweep(
-        Eblk, Bblk, t0, binned.p, binned.valid, geom.dt, qm, d_steps
+        Eblk, Bblk, t0, st.p, st.valid, geom.dt, qm,
+        jnp.asarray(geom.cell_steps, dtype=E_hk.dtype),
     )
 
     # Deposit the path-averaged current of the *converged* move
@@ -161,7 +163,7 @@ def _form_species(E_hk, B, sp_prev: ParticleArrays, geom: Geometry,
     taus = split_segments(t0, tn)
     dseg = tn - t0
     Jblk = 0.0
-    valid_f = binned.valid.astype(E_hk.dtype)
+    valid_f = st.valid.astype(E_hk.dtype)
     for s in range(MAXSEG):
         a = taus[..., s][..., None]
         b = taus[..., s + 1][..., None]
@@ -171,15 +173,28 @@ def _form_species(E_hk, B, sp_prev: ParticleArrays, geom: Geometry,
         Jblk = Jblk + deposit_J_implicit(seg0, seg1, vh, a0 * bs)
     J = scatter_blocks(Jblk, geom)
 
-    # New particle state in flat order (to commit after the solve).
-    # tn/t0 are cell-relative; absolute position = binned.r + (tn - t0).
-    r_new_g = (binned.r + (tn - t0)) * d_steps
-    n = sp_prev.r.shape[0]
-    ids = cell_ids(sp_prev, geom)
-    r_flat = scatter_back(binned, r_new_g, n, ids=ids)
-    p_flat = scatter_back(binned, pn, n, ids=ids)
+    # Candidate state (committed after the nonlinear solve converges):
+    # tn/t0 are cell-relative, absolute grid-units = st.r + (tn - t0).
+    r_new_g = st.r + (tn - t0)
     avg_it = jnp.asarray(iters, E_hk.dtype)
-    return J, r_flat, p_flat, avg_it, jnp.sum(nonconv)
+    # Fast-particle guard: the 4-segment path split (split_segments)
+    # handles at most one face crossing per axis; a per-axis move >= 1
+    # cell would silently lose charge outside the 6-wide window.  The
+    # reference instead sub-steps arbitrarily many crossings with a DDA
+    # while-loop and asserts progress (cell_traversal.cpp:3-77) — here
+    # the violation is surfaced as a flagged error, like solver
+    # non-convergence.
+    max_disp = jnp.max(
+        jnp.where(st.valid[..., None], jnp.abs(tn - t0), 0.0)
+    )
+    return J, r_new_g, pn, avg_it, jnp.sum(nonconv), max_disp
+
+
+@partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))
+def _commit_state(st: BinnedState, geom: Geometry):
+    """Boundary map + checked migration of the converged particle move
+    (after_iteration -> update_cells, eccapfim/simulation.cpp:106-129)."""
+    return migrate_checked(st, geom)
 
 
 class EccapfimSimulation(Simulation):
@@ -203,17 +218,21 @@ class EccapfimSimulation(Simulation):
         geom = self.geom
         J = jnp.zeros_like(self.J)
         self._pending_state = []
+        self._max_disp = jnp.zeros(())
+        self._nonconv = jnp.zeros((), jnp.int32)
         for sp in self.species:
-            if sp.count() == 0:
+            if sp.n == 0:
                 self._pending_state.append(None)
                 continue
-            J_s, r_flat, p_flat, avg_it, nonconv = _form_species(
-                E_hk, self.B, sp.arrays, geom, sp.slots,
+            J_s, r_new_g, pn, avg_it, nonconv, max_disp = _form_species(
+                E_hk, self.B, sp.state, geom,
                 sp.params.qm, sp.params.q * sp.params.n_Np,
             )
             J = J + J_s
-            self._pending_state.append((r_flat, p_flat))
+            self._pending_state.append((r_new_g, pn))
             sp.cn_iterations = float(avg_it)
+            self._max_disp = jnp.maximum(self._max_disp, max_disp)
+            self._nonconv = self._nonconv + nonconv.astype(jnp.int32)
         self._J_last = J
 
         steps, bounds = geom.cell_steps, geom.bounds
@@ -238,6 +257,26 @@ class EccapfimSimulation(Simulation):
         )
         self.conv_history = result.history
         self.phase_timings["calc_iteration"] = time.perf_counter() - t0
+        # Flagged-error surfacing for the committed (last) particle sweep:
+        # per-axis displacement must stay below one cell for the 4-segment
+        # split to be exact, and every particle's CN Picard iteration must
+        # have converged (the reference aborts on both,
+        # cell_traversal.cpp / crank_nicolson_push.cpp:69-70).
+        max_disp = float(self._max_disp)
+        if max_disp >= 1.0:
+            raise RuntimeError(
+                f"eccapfim: particle moved {max_disp:.2f} cells along one "
+                f"axis in a single dt — beyond the one-crossing-per-axis "
+                f"segment split; reduce dt (v_th dt/dx guard) or the "
+                f"field amplitude"
+            )
+        nonconv = int(self._nonconv)
+        if nonconv:
+            raise RuntimeError(
+                f"eccapfim: Crank-Nicolson iteration did not converge for "
+                f"{nonconv} particles (maxit={CN_MAXIT})"
+            )
+
         if not result.converged:
             raise RuntimeError(
                 f"eccapfim nonlinear solve did not converge: "
@@ -262,9 +301,10 @@ class EccapfimSimulation(Simulation):
             if pending is None:
                 sp.J = jnp.zeros_like(self.J)
                 continue
-            r_flat, p_flat = pending
-            sp.arrays = apply_boundaries(
-                ParticleArrays(r=r_flat, p=p_flat, alive=sp.arrays.alive), geom
+            r_new_g, pn = pending
+            sp.state, load = _commit_state(
+                BinnedState(r=r_new_g, p=pn, valid=sp.state.valid), geom
             )
             sp.J = self._J_last
-        self.rebin_all()
+            self.check_load(sp, load)
+        self.refresh_counts()

@@ -4,7 +4,7 @@ Reference: src/impls/ecsim/{simulation,particles}.cpp, after
 https://doi.org/10.1016/j.jcp.2017.01.002.  One timestep
 (ecsim/simulation.cpp:145-253):
 
-1. ``first_push``     : r += v dt (no fields), then rebin.
+1. ``first_push``     : r += v dt (no fields), then migrate (rebin).
 2. ``fill``           : per particle, gather B (s1) -> implicit current
                         I_p into currI and rotation blocks into matL.
 3. ``advance_fields`` : solve (matL + matM) E^{n+1/2} = 2 E^n
@@ -15,6 +15,13 @@ https://doi.org/10.1016/j.jcp.2017.01.002.  One timestep
                         Boris vEB velocity update.
 5. ``final_update``   : E^{n+1} = 2 E^{n+1/2} - E^n;
                         B^{n+1} = B^n - dt curl+(E^{n+1/2}).
+
+The phase kernels are shared with the fused single-jit step
+(parallel/step.py): this host-phased driver exists for the command /
+diagnostic cadence, and a cross-parity test asserts both paths produce
+the same state (tests/test_scheme_parity.py).  Species live in the
+persistent cell-binned ``BinnedState`` layout across steps; migration is
+one checked rebin per step.
 
 Solver budget: rtol=atol=1e-7, maxit=100 (ecsim/simulation.h:15-18);
 non-convergence raises (KSPSetErrorIfNotConverged analog).
@@ -27,23 +34,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from ..config import Config, Geometry
-from ..ops.binning import bin_sorted, scatter_back
-from ..ops.ecsim_blocks import (
-    apply_blocks,
-    assemble_blocks,
-    deposit_slots,
-    ecsim_particle_terms,
-    gather_slot_fields,
-    s1_slot_weights,
-)
-from ..ops.gather_scatter import B_STAGGER, cell_t, gather_vector
-from ..ops.stencil import curl_negative, curl_positive
-from ..particles import ParticleArrays, apply_boundaries, cell_ids
-from ..pushers import update_vEB
-from ..solvers import gmres
+from ..config import Geometry
+from ..ops.binning import BinnedState, _drift_impl, _rebin_core
+from ..ops.gather_scatter import cell_t
+from ..ops.stencil import curl_positive
+from ..parallel.step import advance_phase, fill_phase, push_phase
 from .base import Simulation
 
 ATOL = 1e-7
@@ -52,45 +48,24 @@ MAXIT = 100
 
 
 @partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))
-def _first_push(sp: ParticleArrays, geom: Geometry):
-    """r += v dt (ecsim/particles.cpp:21-30) + boundary wrap."""
-    r = sp.r + sp.p * geom.dt
-    return apply_boundaries(ParticleArrays(r=r, p=sp.p, alive=sp.alive), geom)
+def _first_push_binned(st: BinnedState, geom: Geometry):
+    """r += v dt (ecsim/particles.cpp:21-30), boundary map, then the
+    capacity-checked migration (update_cells, interfaces/particles.cpp)."""
+    return _rebin_core(_drift_impl(st, geom), geom)
 
 
-@partial(jax.jit, static_argnames=("geom", "slots", "q", "m", "mpw"))
-def _fill_species(B, sp: ParticleArrays, geom: Geometry, slots: int,
-                  q: float, m: float, mpw: float):
+@partial(jax.jit, static_argnames=("geom", "q", "m", "mpw"))
+def _fill_binned(B, st: BinnedState, geom: Geometry, q: float, m: float,
+                 mpw: float):
     """One species' currI deposit and matL blocks
-    (ecsim/particles.cpp:33-173)."""
-    binned = bin_sorted(sp, geom, slots)
-    t = cell_t(geom, binned.r)
-    W = s1_slot_weights(t)
-    B_p = gather_vector(B, t, binned.valid, geom, order=1, width=3, anchor=-1,
-                        stagger=B_STAGGER)
-    I_p, M = ecsim_particle_terms(
-        B_p, binned.p, binned.valid, q=q, m=m, mpw=mpw, dt=geom.dt
-    )
-    currI = deposit_slots(I_p, W, geom)
-    L = assemble_blocks(W, M)
-    return currI, L
+    (fill_ecsim_current, ecsim/particles.cpp:33-173)."""
+    t = cell_t(geom, st.r)
+    currI, L, W, B_p = fill_phase(B, st, t, geom, q=q, m=m, mpw=mpw)
+    return currI, L, W, B_p, t
 
 
-def _matA(L, geom: Geometry):
-    steps, bounds = geom.cell_steps, geom.bounds
-    half_dt2 = 0.5 * geom.dt * geom.dt
-
-    def matvec(x):
-        y = 2.0 * x + half_dt2 * curl_negative(
-            curl_positive(x, steps, bounds), steps, bounds
-        )
-        return y + apply_blocks(L, x, geom)
-
-    return matvec
-
-
-@partial(jax.jit, static_argnames=("geom",))
-def _advance_fields(E, B, B0, currI, L, geom: Geometry):
+@partial(jax.jit, static_argnames=("geom", "maxit"))
+def _advance_fields(E, B, B0, currI, L, geom: Geometry, maxit: int = MAXIT):
     """rhs = 2 E - dt currI + dt curl-(B - B0); solve matA Ep = rhs
     (ecsim/simulation.cpp:191-278).
 
@@ -98,41 +73,17 @@ def _advance_fields(E, B, B0, currI, L, geom: Geometry):
     matM + mean(diag matL) I (solvers/spectral.py) — the TPU-native
     replacement for PETSc's algebraic preconditioners.
     """
-    from ..solvers.spectral import make_matM_preconditioner
-
-    rhs = (
-        2.0 * E
-        - geom.dt * currI
-        + geom.dt * curl_negative(B - B0, geom.cell_steps, geom.bounds)
-    )
-    P = make_matM_preconditioner(geom, geom.dt, dtype=E.dtype)
-    M_inv = None
-    if P is not None:
-        # mean diagonal of matL over all grid unknowns (3 per cell)
-        shift = jnp.einsum("gcici->", L) / (3.0 * geom.n_cells)
-        M_inv = lambda v: P(v, shift)  # noqa: E731
-    res = gmres(_matA(L, geom), rhs, x0=E, rtol=RTOL, atol=ATOL, maxit=MAXIT,
-                M_inv=M_inv)
-    return res.x, res.iterations, res.residual_norm, res.converged
+    tol = 1e-5 if E.dtype == jnp.float32 else ATOL
+    sol = advance_phase(E, B, B0, currI, L, geom, tol=tol, maxit=maxit)
+    return sol.x, sol.iterations, sol.residual_norm, sol.converged
 
 
-@partial(jax.jit, static_argnames=("geom", "slots", "qm"), donate_argnums=(2,))
-def _second_push(Ep, B, sp: ParticleArrays, geom: Geometry, slots: int,
-                 qm: float):
+@partial(jax.jit, static_argnames=("geom", "qm"))
+def _second_push_binned(Ep, st: BinnedState, t, W, B_p, geom: Geometry,
+                        qm: float):
     """Boris vEB with s1-interpolated fields at the already-moved
     positions (ecsim/particles.cpp:175-196)."""
-    binned = bin_sorted(sp, geom, slots)
-    t = cell_t(geom, binned.r)
-    W = s1_slot_weights(t)
-    E_p = gather_slot_fields(Ep, W, geom)
-    E_p = jnp.where(binned.valid[..., None], E_p, 0.0)
-    B_p = gather_vector(B, t, binned.valid, geom, order=1, width=3, anchor=-1,
-                        stagger=B_STAGGER)
-    p1 = update_vEB(geom.dt, qm, binned.p, E_p, B_p)
-    p1 = jnp.where(binned.valid[..., None], p1, 0.0)
-    n = sp.r.shape[0]
-    p_new = scatter_back(binned, p1, n, ids=cell_ids(sp, geom))
-    return ParticleArrays(r=sp.r, p=p_new, alive=sp.alive)
+    return push_phase(Ep, st, t, W, B_p, geom, qm=qm)
 
 
 @partial(jax.jit, static_argnames=("geom",))
@@ -157,20 +108,20 @@ class EcsimSimulation(Simulation):
 
     def first_push(self) -> None:
         for sp in self.species:
-            sp.arrays = _first_push(sp.arrays, self.geom)
-        self.rebin_all()
+            sp.state, sp._load = _first_push_binned(sp.state, self.geom)
         self.fill_ecsim_current()
 
     def fill_ecsim_current(self) -> None:
         for sp in self.species:
-            if sp.count() == 0:
+            if sp.n == 0:
+                sp._cache = None
                 continue
             pr = sp.params
-            currI_s, L_s = _fill_species(
-                self.B, sp.arrays, self.geom, sp.slots,
-                q=pr.q, m=pr.m, mpw=pr.n_Np,
+            currI_s, L_s, W, B_p, t = _fill_binned(
+                self.B, sp.state, self.geom, pr.q, pr.m, pr.n_Np
             )
             sp.currI = currI_s
+            sp._cache = (t, W, B_p)
             self.currI = self.currI + currI_s
             self._L = L_s if self._L is None else self._L + L_s
         if self._L is None:
@@ -190,11 +141,13 @@ class EcsimSimulation(Simulation):
 
     def second_push(self) -> None:
         for sp in self.species:
-            if sp.count() == 0:
+            if sp.n == 0 or sp._cache is None:
                 continue
-            sp.arrays = _second_push(
-                self.Ep, self.B, sp.arrays, self.geom, sp.slots, sp.params.qm
+            t, W, B_p = sp._cache
+            sp.state = _second_push_binned(
+                self.Ep, sp.state, t, W, B_p, self.geom, sp.params.qm
             )
+            sp._cache = None
 
     def final_update(self) -> None:
         self.E, self.B = _final_update(self.E, self.B, self.Ep, self.geom)
@@ -215,3 +168,11 @@ class EcsimSimulation(Simulation):
         self.J = self.currI
         for sp in self.species:
             sp.J = getattr(sp, "currI", jnp.zeros_like(self.J))
+        # Capacity policing at the end of the step (K growth retraces
+        # the next step, never the one in flight).
+        for sp in self.species:
+            load = getattr(sp, "_load", None)
+            if load is not None:
+                sp._load = None
+                self.check_load(sp, load)
+        self.refresh_counts()

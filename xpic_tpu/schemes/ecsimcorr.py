@@ -18,12 +18,13 @@ ECSIM step (ecsimcorr/simulation.cpp:21-32):
                         (ecsimcorr/particles.cpp:93-126), then the ECSIM
                         final update with Ep <- Ec.
 
-The half-drift positions make particles move dt/2 before the ECSIM fill,
-so this scheme rebins after each half step.
+All particle work runs on the persistent cell-binned ``BinnedState``;
+the half-drift phases migrate with a capacity-checked rebin.
 """
 
 from __future__ import annotations
 
+import time
 from functools import partial
 
 import jax
@@ -31,7 +32,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Geometry
-from ..ops.binning import bin_sorted, scatter_back
+from ..ops.binning import (
+    BinnedState,
+    kinetic_energy_state,
+    migrate_checked,
+)
 from ..ops.ecsim_blocks import gather_slot_fields, s1_slot_weights
 from ..ops.gather_scatter import (
     B_STAGGER,
@@ -40,69 +45,54 @@ from ..ops.gather_scatter import (
     gather_vector,
 )
 from ..ops.stencil import curl_negative, curl_positive
-from ..particles import ParticleArrays, apply_boundaries, cell_ids, kinetic_energy
 from ..pushers import update_vEB
 from ..solvers import cg
-from .base import Simulation
 from .ecsim import ATOL, MAXIT, RTOL, EcsimSimulation, _final_update
 
 
-@partial(jax.jit, static_argnames=("geom", "slots", "alpha"), donate_argnums=(0,))
-def _half_drift_deposit(sp: ParticleArrays, geom: Geometry, slots: int,
-                        alpha: float):
-    """r += v dt/2 with Esirkepov deposit over the half move
-    (ecsimcorr/particles.cpp:27-50)."""
-    binned = bin_sorted(sp, geom, slots)
-    d = jnp.asarray(geom.cell_steps, dtype=sp.r.dtype)
-    rg0 = binned.r
-    rg1 = rg0 + (binned.p / d) * (0.5 * geom.dt)
-    J_inc = esirkepov_current(
-        cell_t(geom, rg0), cell_t(geom, rg1), binned.valid, alpha, geom
+@partial(jax.jit, static_argnames=("geom", "alpha"), donate_argnums=(0,))
+def _half_drift_deposit(st: BinnedState, geom: Geometry, alpha: float):
+    """r += v dt/2 with Esirkepov deposit over the half move, then the
+    checked migration (ecsimcorr/particles.cpp:27-50)."""
+    d = jnp.asarray(geom.cell_steps, dtype=st.r.dtype)
+    t0 = cell_t(geom, st.r)
+    rg1 = st.r + (st.p / d) * (0.5 * geom.dt)
+    t1 = cell_t(geom, rg1)
+    J_inc = esirkepov_current(t0, t1, st.valid, alpha, geom)
+    st2, load = migrate_checked(
+        BinnedState(r=rg1, p=st.p, valid=st.valid), geom
     )
-    n = sp.r.shape[0]
-    r_new = scatter_back(binned, rg1 * d, n, ids=cell_ids(sp, geom))
-    sp_new = apply_boundaries(
-        ParticleArrays(r=r_new, p=sp.p, alive=sp.alive), geom
-    )
-    return sp_new, J_inc
+    return st2, J_inc, load
 
 
-@partial(jax.jit, static_argnames=("geom", "slots", "qm", "qn_Np"),
+@partial(jax.jit, static_argnames=("geom", "qm", "qn_Np", "alpha"),
          donate_argnums=(2,))
-def _second_push_corr(Ep, B, sp: ParticleArrays, geom: Geometry, slots: int,
+def _second_push_corr(Ep, B, st: BinnedState, geom: Geometry,
                       qm: float, qn_Np: float, alpha: float):
     """Boris vEB + second half drift + Esirkepov deposit + pred_w
     (ecsimcorr/particles.cpp:52-92)."""
-    binned = bin_sorted(sp, geom, slots)
-    t = cell_t(geom, binned.r)
+    t = cell_t(geom, st.r)
     W = s1_slot_weights(t)
     E_p = gather_slot_fields(Ep, W, geom)
-    E_p = jnp.where(binned.valid[..., None], E_p, 0.0)
-    B_p = gather_vector(B, t, binned.valid, geom, order=1, width=3, anchor=-1,
+    E_p = jnp.where(st.valid[..., None], E_p, 0.0)
+    B_p = gather_vector(B, t, st.valid, geom, order=1, width=3, anchor=-1,
                         stagger=B_STAGGER)
-    p0 = binned.p
+    p0 = st.p
     p1 = update_vEB(geom.dt, qm, p0, E_p, B_p)
-    p1 = jnp.where(binned.valid[..., None], p1, 0.0)
+    p1 = jnp.where(st.valid[..., None], p1, 0.0)
 
-    d = jnp.asarray(geom.cell_steps, dtype=sp.r.dtype)
-    rg0 = binned.r
-    rg1 = rg0 + (p1 / d) * (0.5 * geom.dt)
-    J_inc = esirkepov_current(
-        cell_t(geom, rg0), cell_t(geom, rg1), binned.valid, alpha, geom
-    )
+    d = jnp.asarray(geom.cell_steps, dtype=st.r.dtype)
+    rg1 = st.r + (p1 / d) * (0.5 * geom.dt)
+    J_inc = esirkepov_current(t, cell_t(geom, rg1), st.valid, alpha, geom)
 
     pred_w = qn_Np * jnp.sum(
-        jnp.where(binned.valid, 0.5 * jnp.sum((p0 + p1) * E_p, axis=-1), 0.0)
+        jnp.where(st.valid, 0.5 * jnp.sum((p0 + p1) * E_p, axis=-1), 0.0)
     )
 
-    n = sp.r.shape[0]
-    ids = cell_ids(sp, geom)
-    r_new = scatter_back(binned, rg1 * d, n, ids=ids)
-    p_new = scatter_back(binned, p1, n, ids=ids)
-    sp_new = apply_boundaries(
-        ParticleArrays(r=r_new, p=p_new, alive=sp.alive), geom
+    st2, load = migrate_checked(
+        BinnedState(r=rg1, p=p1, valid=st.valid), geom
     )
-    return sp_new, J_inc, pred_w
+    return st2, J_inc, pred_w, load
 
 
 @partial(jax.jit, static_argnames=("geom",))
@@ -131,9 +121,27 @@ def _correct_fields(E, B, B0, currJe, geom: Geometry):
     return res.x, res.iterations, res.residual_norm, res.converged
 
 
-@jax.jit
-def _scale_momenta(p, lam):
-    return p * lam
+@partial(jax.jit, static_argnames=("geom", "m_mpw"), donate_argnums=(0,))
+def _renormalize(st: BinnedState, currJe_s, Ec, pred_w, K0,
+                 geom: Geometry, m_mpw: float):
+    """Velocity renormalization lambda = sqrt(1 + dt (corr_w - pred_w)/K)
+    (ecsimcorr/particles.cpp:93-126).  Returns the scaled state and the
+    bookkeeping stats [lambda_dK, pred_dK, corr_dK, pred_w, corr_w]."""
+    corr_w = jnp.sum(currJe_s * Ec)
+    K = kinetic_energy_state(st, m_mpw)
+    lambda2 = jnp.where(
+        K > 0.0, 1.0 + geom.dt * (corr_w - pred_w) / jnp.maximum(K, 1e-300), 1.0
+    )
+    lam = jnp.sqrt(lambda2)
+    p = jnp.where(st.valid[..., None], st.p * lam, 0.0)
+    stats = jnp.stack([
+        (lambda2 - 1.0) * K,  # lambda_dK
+        K - K0,               # pred_dK
+        lambda2 * K - K0,     # corr_dK
+        pred_w,
+        corr_w,
+    ])
+    return BinnedState(r=st.r, p=p, valid=st.valid), stats
 
 
 class EcsimcorrSimulation(EcsimSimulation):
@@ -147,34 +155,42 @@ class EcsimcorrSimulation(EcsimSimulation):
         super().clear_sources()
         self.currJe = jnp.zeros_like(self.J)
         for sp in self.species:
-            sp.energy0 = float(kinetic_energy(sp.arrays, sp.params))
+            # Device scalar; consumed inside _renormalize (no host sync).
+            sp.energy0 = kinetic_energy_state(
+                sp.state, sp.params.m * sp.params.n_Np
+            )
 
     def first_push(self) -> None:
         for sp in self.species:
-            if sp.count() == 0:
+            if sp.n == 0:
+                sp.currJe = jnp.zeros_like(self.J)
+                sp._load = None
                 continue
             alpha = sp.params.q * sp.params.n_Np / (6.0 * self.geom.dt)
-            sp.arrays, J_inc = _half_drift_deposit(
-                sp.arrays, self.geom, sp.slots, alpha
+            sp.state, J_inc, sp._load = _half_drift_deposit(
+                sp.state, self.geom, alpha
             )
             sp.currJe = J_inc
-        self.rebin_all()
         self.fill_ecsim_current()
 
     def second_push(self) -> None:
         for sp in self.species:
-            if sp.count() == 0:
+            if sp.n == 0:
                 continue
             pr = sp.params
             alpha = pr.q * pr.n_Np / (6.0 * self.geom.dt)
-            sp.arrays, J_inc, pred_w = _second_push_corr(
-                self.Ep, self.B, sp.arrays, self.geom, sp.slots,
+            sp.state, J_inc, pred_w, load2 = _second_push_corr(
+                self.Ep, self.B, sp.state, self.geom,
                 pr.qm, pr.q * pr.n_Np, alpha,
             )
+            # Keep the max of the two half-step migrations' loads.
+            if sp._load is not None:
+                sp._load = jnp.maximum(sp._load, load2)
+            else:
+                sp._load = load2
             sp.currJe = sp.currJe + J_inc
-            sp.pred_w = float(pred_w)
+            sp.pred_w = pred_w
             self.currJe = self.currJe + sp.currJe
-        self.rebin_all()
 
     def correct_fields(self) -> None:
         self.Ec, its, rnorm, ok = _correct_fields(
@@ -186,38 +202,26 @@ class EcsimcorrSimulation(EcsimSimulation):
             )
 
     def final_update(self) -> None:
-        dt = self.geom.dt
         for sp in self.species:
-            if sp.count() == 0:
+            if sp.n == 0:
                 sp.corr_stats = dict(lambda_dK=0.0, pred_dK=0.0, corr_dK=0.0,
                                      pred_w=0.0, corr_w=0.0)
                 continue
-            # corr_w = <currJe_s, Ec> (ecsimcorr/particles.cpp:95)
-            corr_w = float(jnp.sum(sp.currJe * self.Ec))
-            K0 = sp.energy0
-            K = float(kinetic_energy(sp.arrays, sp.params))
-            pred_w = getattr(sp, "pred_w", 0.0)
-            lambda2 = 1.0 + dt * (corr_w - pred_w) / K if K > 0 else 1.0
-            lam = float(np.sqrt(lambda2))
-            sp.arrays = ParticleArrays(
-                r=sp.arrays.r,
-                p=_scale_momenta(sp.arrays.p, lam),
-                alive=sp.arrays.alive,
+            sp.state, stats = _renormalize(
+                sp.state, sp.currJe, self.Ec,
+                getattr(sp, "pred_w", jnp.zeros(())), sp.energy0,
+                self.geom, sp.params.m * sp.params.n_Np,
             )
+            s = np.asarray(stats)
             sp.corr_stats = dict(
-                lambda_dK=(lambda2 - 1.0) * K,
-                pred_dK=K - K0,
-                corr_dK=lambda2 * K - K0,
-                pred_w=pred_w,
-                corr_w=corr_w,
+                lambda_dK=float(s[0]), pred_dK=float(s[1]),
+                corr_dK=float(s[2]), pred_w=float(s[3]), corr_w=float(s[4]),
             )
 
         self.Ep, self.Ec = self.Ec, self.Ep  # VecSwap (ecsimcorr/simulation.cpp:85)
         self.E, self.B = _final_update(self.E, self.B, self.Ep, self.geom)
 
     def timestep_implementation(self, t: int) -> None:
-        import time as _time
-
         phases = [
             ("clear_sources", self.clear_sources),
             ("first_push", self.first_push),
@@ -227,10 +231,16 @@ class EcsimcorrSimulation(EcsimSimulation):
             ("final_update", self.final_update),
         ]
         for name, fn in phases:
-            t0 = _time.perf_counter()
+            t0 = time.perf_counter()
             fn()
-            self.phase_timings[name] = _time.perf_counter() - t0
+            self.phase_timings[name] = time.perf_counter() - t0
         # The Esirkepov current is the scheme's J (ecsimcorr/simulation.cpp:16).
         self.J = self.currJe
         for sp in self.species:
             sp.J = getattr(sp, "currJe", jnp.zeros_like(self.J))
+        for sp in self.species:
+            load = getattr(sp, "_load", None)
+            if load is not None:
+                sp._load = None
+                self.check_load(sp, load)
+        self.refresh_counts()
