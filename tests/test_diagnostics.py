@@ -1,0 +1,211 @@
+"""Previously-untested diagnostics: DistributionMoment semantics,
+VelocityDistribution histograms, LogView tables, TableFunction, and the
+background binary writer.
+
+Reference semantics: src/diagnostics/distribution_moment.cpp:212-313
+(moment values), src/diagnostics/velocity_distribution.cpp:195-201
+(projectors), src/diagnostics/log_view.h:29-60 (three levels),
+src/utils/table_function.{h,cpp}.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xpic_tpu.commands import particles_load
+from xpic_tpu.config import Config
+from xpic_tpu.schemes import build_simulation
+
+NP_PER_CELL = 10
+N_REF = 1.0
+
+
+def make_sim(tmp_path, diagnostics, nt=2, name="diag"):
+    doc = {
+        "Simulation": "ecsim",
+        "OutputDirectory": str(tmp_path / name),
+        "Geometry": {
+            "x": 4.0, "y": 4.0, "z": 4.0, "t": nt * 1.5,
+            "dx": 0.5, "dy": 0.5, "dz": 0.5, "dt": 1.5,
+            "diagnose_period": 1,
+            "da_boundary_x": "DM_BOUNDARY_PERIODIC",
+            "da_boundary_y": "DM_BOUNDARY_PERIODIC",
+            "da_boundary_z": "DM_BOUNDARY_PERIODIC",
+        },
+        "Particles": [
+            {"sort_name": "electrons", "Np": NP_PER_CELL, "n": N_REF,
+             "q": -1.0, "m": 1.0, "T": 0.1}
+        ],
+        "Presets": [
+            {"command": "SetParticles", "particles": "electrons",
+             "coordinate": {"name": "CoordinateInBox"},
+             "momentum": {"name": "MaxwellianMomentum", "tov": True}},
+        ],
+        "Diagnostics": diagnostics,
+    }
+    particles_load.seed(21)
+    sim = build_simulation(Config.from_json(doc))
+    sim.initialize()
+    return sim
+
+
+# -- DistributionMoment -------------------------------------------------------
+
+
+def test_distribution_moment_density_integral(tmp_path):
+    """The cell-centered density deposit integrates to (count * n/Np):
+    order-1 spline weights sum to one per particle
+    (distribution_moment.cpp:125-155)."""
+    sim = make_sim(tmp_path, [
+        {"diagnostic": "DistributionMoment", "particles": "electrons",
+         "moment": "density"},
+    ])
+    dm = sim.diagnostics[-1]
+    data = np.asarray(dm._collect(sim.binned(sim.species[0])))
+    n_particles = sim.species[0].count()
+    np.testing.assert_allclose(
+        data.sum(), n_particles * N_REF / NP_PER_CELL, rtol=1e-12
+    )
+    assert data.min() >= 0.0
+
+
+def test_distribution_moment_current_matches_momentum_sum(tmp_path):
+    """The 'current' moment integrates to q (n/Np) sum_p v
+    (distribution_moment.cpp:226-240)."""
+    sim = make_sim(tmp_path, [
+        {"diagnostic": "DistributionMoment", "particles": "electrons",
+         "moment": "current"},
+    ], name="diag_current")
+    dm = sim.diagnostics[-1]
+    sp = sim.species[0]
+    data = np.asarray(dm._collect(sim.binned(sp)))  # [nz, ny, nx, 3]
+    alive = np.asarray(sp.arrays.alive)
+    psum = np.asarray(sp.arrays.p)[alive].sum(axis=0)
+    expect = sp.params.q * (N_REF / NP_PER_CELL) * psum
+    np.testing.assert_allclose(data.sum(axis=(0, 1, 2)), expect, rtol=1e-11)
+
+
+def test_distribution_moment_dump_files(tmp_path):
+    sim = make_sim(tmp_path, [
+        {"diagnostic": "DistributionMoment", "particles": "electrons",
+         "moment": "density"},
+    ], name="diag_files")
+    sim.calculate()
+    sim.finalize()
+    g = sim.geom
+    d = os.path.join(sim.cfg.out_dir, "electrons", "density")
+    files = sorted(os.listdir(d))
+    assert len(files) == g.nt + 1  # t = 0 .. nt
+    raw = np.fromfile(os.path.join(d, files[0]), dtype=np.float32)
+    assert raw.size == g.nx * g.ny * g.nz  # dof = 1
+    np.testing.assert_allclose(
+        raw.sum(), sim.species[0].count() * N_REF / NP_PER_CELL, rtol=1e-5
+    )
+
+
+# -- VelocityDistribution -------------------------------------------------------
+
+
+def test_velocity_distribution_histogram(tmp_path):
+    """Histogram of hand-placed velocities lands in the right (v1, v2)
+    bins with weight n/Np (velocity_distribution.cpp:140-201)."""
+    from xpic_tpu.particles import from_numpy
+
+    sim = make_sim(tmp_path, [
+        {"diagnostic": "VelocityDistribution", "particles": "electrons",
+         "projection": "vx_vy",
+         "vmin": [-0.2, -0.2], "vmax": [0.2, 0.2], "dv": [0.1, 0.1]},
+    ], name="diag_vdf")
+    vd = sim.diagnostics[-1]
+    sp = sim.species[0]
+
+    r = np.full((3, 3), 1.0)
+    p = np.array([
+        [0.05, 0.05, 0.0],   # bin (2, 2) of 4x4
+        [-0.15, 0.05, 0.0],  # bin (0, 2)
+        [0.55, 0.0, 0.0],    # out of range -> dropped
+    ])
+    sp.arrays = from_numpy(r, p)
+    sp.n = 3
+    hist = np.asarray(vd._collect(sp.arrays))  # [nv2, nv1]
+    assert hist.shape == (4, 4)
+    w = N_REF / NP_PER_CELL
+    np.testing.assert_allclose(hist.sum(), 2 * w)
+    np.testing.assert_allclose(hist[2, 2], w)
+    np.testing.assert_allclose(hist[2, 0], w)
+
+
+def test_velocity_projectors():
+    from xpic_tpu.diagnostics.velocity_distribution import _project
+
+    r = jnp.asarray([[3.0, 2.0, 0.0]])  # at +x from center of a 4x4 box
+    p = jnp.asarray([[0.3, 0.4, 0.5]])
+    v1, v2 = _project("vz_vxy", r, p, 4.0, 4.0)
+    np.testing.assert_allclose(float(v1[0]), 0.5)
+    np.testing.assert_allclose(float(v2[0]), 0.5)  # hypot(0.3, 0.4)
+    vr, vphi = _project("vr_vphi", r, p, 4.0, 4.0)
+    np.testing.assert_allclose(float(vr[0]), 0.3, rtol=1e-12)   # radial = +x
+    np.testing.assert_allclose(float(vphi[0]), 0.4, rtol=1e-12)
+
+
+# -- LogView ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("level", ["EachTimestep", "DiagnosePeriodAvg",
+                                   "AllTimestepsSummary"])
+def test_log_view_levels(tmp_path, level):
+    sim = make_sim(tmp_path, [
+        {"diagnostic": "LogView", "level": level},
+    ], name=f"diag_log_{level}")
+    sim.calculate()
+    sim.finalize()
+    path = os.path.join(sim.cfg.out_dir, "temporal", f"log_{level}.txt")
+    assert os.path.exists(path)
+    with open(path) as fh:
+        header = fh.readline().split()
+        rows = np.loadtxt(fh)
+    assert header, "empty log table"
+    if rows.ndim == 1:
+        rows = rows[None, :]
+    assert rows.shape[1] == len(header)
+    # Phase timings are present and non-negative (column names are
+    # truncated to the table width, so match a prefix).
+    assert any(h.startswith("advance_f") for h in header)
+    assert np.all(rows >= 0.0)
+
+
+# -- TableFunction ----------------------------------------------------------------
+
+
+def test_table_function_roundtrip_and_interpolation(tmp_path):
+    from xpic_tpu.utils.table_function import TableFunction
+
+    x = np.linspace(-2.0, 3.0, 51)
+    tf = TableFunction.from_arrays(-2.0, 0.1, 3.0 * x + 1.0)
+    path = str(tmp_path / "table.bin")
+    tf.save(path)
+
+    tf2 = TableFunction(path)
+    assert tf2.xmin == -2.0 and abs(tf2.xmax - 3.0) < 1e-12
+    # Linear interpolation is exact on a linear function, incl. off-grid.
+    q = np.array([-2.0, -1.37, 0.0, 0.123, 2.99])
+    np.testing.assert_allclose(
+        np.asarray(tf2.get_value(q)), 3.0 * q + 1.0, atol=1e-12
+    )
+
+
+# -- Background binary writer -------------------------------------------------------
+
+
+def test_async_binary_dump_matches_sync(tmp_path):
+    from xpic_tpu.diagnostics.io import binary_dump, flush_dumps
+
+    data = np.arange(1000, dtype=np.float32).reshape(10, 100)
+    p1 = str(tmp_path / "async.bin")
+    binary_dump(p1, data)
+    flush_dumps()
+    p2 = str(tmp_path / "sync.bin")
+    data.tofile(p2)
+    assert open(p1, "rb").read() == open(p2, "rb").read()

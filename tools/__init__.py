@@ -8,9 +8,8 @@ table plotting (plots), and the `python -m tools` CLI.
 from .data_format import (DistributionReader, RegionReader, RunInfo,
                           read_temporal)
 from .plots import Panel, make_movie, plot_temporal, process_frames
-from .plotting import FieldReader
 
 __all__ = [
     "DistributionReader", "RegionReader", "RunInfo", "read_temporal",
-    "Panel", "make_movie", "plot_temporal", "process_frames", "FieldReader",
+    "Panel", "make_movie", "plot_temporal", "process_frames",
 ]

@@ -145,7 +145,12 @@ class DistributionMoment:
         if self.region is not None:
             (sx, sy, sz), (nx, ny, nz) = self.region
             data = data[sz : sz + nz, sy : sy + ny, sx : sx + nx, :]
-        data.tofile(os.path.join(self.out_dir, format_time(t, sim.geom.nt)))
+        from .io import binary_dump
+
+        binary_dump(os.path.join(self.out_dir, format_time(t, sim.geom.nt)),
+                    np.ascontiguousarray(data))
 
     def finalize(self) -> None:
-        pass
+        from .io import flush_dumps
+
+        flush_dumps()

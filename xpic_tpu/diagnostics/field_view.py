@@ -70,7 +70,11 @@ class FieldView:
         sub = F[sc : sc + nc, sz : sz + nz, sy : sy + ny, sx : sx + nx]
         data = np.ascontiguousarray(np.moveaxis(sub, 0, -1), dtype=np.float32)
         path = os.path.join(self.out_dir, format_time(t, sim.geom.nt))
-        data.tofile(path)
+        from .io import binary_dump
+
+        binary_dump(path, data)
 
     def finalize(self) -> None:
-        pass
+        from .io import flush_dumps
+
+        flush_dumps()

@@ -111,9 +111,14 @@ class VelocityDistribution:
         if t % sim.geom.diagnose_period != 0:
             return
         hist = self._collect(self.species.arrays)
-        np.asarray(hist, dtype=np.float32).tofile(
-            os.path.join(self.out_dir, format_time(t, sim.geom.nt))
+        from .io import binary_dump
+
+        binary_dump(
+            os.path.join(self.out_dir, format_time(t, sim.geom.nt)),
+            np.asarray(hist, dtype=np.float32),
         )
 
     def finalize(self) -> None:
-        pass
+        from .io import flush_dumps
+
+        flush_dumps()

@@ -201,16 +201,20 @@ class Simulation:
 
     def calculate(self) -> None:
         log.info("Running the main simulation cycle")
+        diag_prev = 0.0  # diagnostics cost of the previous step
         for t in range(self.start + 1, self.geom.nt + 1):
             t0 = time.perf_counter()
             for command in self.step_presets:
                 command.execute(t)
             self.timestep_implementation(t)
             t1 = time.perf_counter()
+            # Stable key set before the diagnostics run so LogView rows
+            # keep a constant column layout (log_view.h:29-60).
+            self.timings = {"step": t1 - t0, "diagnostics": diag_prev}
             for diag in self.diagnostics:
                 diag.diagnose(t)
             t2 = time.perf_counter()
-            self.timings = {"step": t1 - t0, "diagnostics": t2 - t1}
+            diag_prev = t2 - t1
             log.info(
                 "Timestep = %.4f [1/w_pe] = %d [dt] (%.3fs step, %.3fs diag)",
                 t * self.geom.dt, t, t1 - t0, t2 - t1,
