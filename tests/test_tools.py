@@ -80,3 +80,81 @@ def test_frame_and_temporal_plots(tmp_path):
     assert all(os.path.exists(f) for f in frames)
     png = plot_temporal(run, "energy_conservation")
     assert os.path.exists(png)
+
+
+# -- analysis utilities (tools/analysis.py) ----------------------------------
+
+
+def test_wk_spectrum_plane_wave():
+    """A pure exp(-i w0 t + i k0 x) wave peaks at (w0, k0) and inverts."""
+    from tools.analysis import wk_inverse, wk_spectrum
+
+    nt, nx, dt = 64, 32, 0.5
+    t = np.arange(nt) * dt
+    x = np.arange(nx) * (2 * np.pi / nx)
+    w0 = 2 * np.pi * 4 / (nt * dt)  # 4th temporal mode
+    k0 = 3.0  # 3rd spatial mode
+    data = np.cos(k0 * x[None, :] - w0 * t[:, None])
+
+    f, w, k = wk_spectrum(data, dt)
+    mag = np.abs(f)
+    iw, ik = np.unravel_index(np.argmax(mag), mag.shape)
+    # cos splits into (+w0,+k0) and (-w0,-k0).
+    assert abs(abs(w[iw]) - w0) < 2 * np.pi / (nt * dt) * 0.51
+    assert abs(abs(k[ik]) - k0) < 0.51
+
+    real, imag = wk_inverse(f)
+    np.testing.assert_allclose(real, data, atol=1e-12)
+    np.testing.assert_allclose(imag, 0.0, atol=1e-12)
+
+
+def test_dump_consistency(tmp_path):
+    from tools.analysis import (check_consistency, find_correct_timestep,
+                                is_correct_timestep)
+    from tools.data_format import RegionReader
+
+    d = tmp_path / "E"
+    d.mkdir()
+    size = (4, 4, 4, 3)
+    good = np.zeros(size[::-1], dtype=np.float32)
+    for t in (0, 1, 2, 4):
+        good.tofile(str(d / f"{t:02d}"))
+    np.zeros(5, dtype=np.float32).tofile(str(d / "03"))  # truncated dump
+
+    reader = RegionReader(str(d), size, nt=10)
+    assert is_correct_timestep(reader, 2)
+    assert not is_correct_timestep(reader, 3)
+    assert check_consistency(reader, 0, 5) == 3
+    assert find_correct_timestep(reader, 3) == 2
+    assert find_correct_timestep(reader, 4) == 4
+
+
+def test_phi_average_radial_function():
+    from tools.analysis import phi_average, polar_maps, vx_vy_to_vr_va
+
+    COS, SIN, R = polar_maps(33, 33)
+    prof = phi_average(R, R, nr=12)  # phi-average of r is r itself
+    np.testing.assert_allclose(prof[1:], np.arange(1, 12), atol=0.5)
+
+    # A purely radial vector field maps onto (vr, 0).
+    vx, vy = COS * 2.5, SIN * 2.5
+    vr, va = vx_vy_to_vr_va(vx, vy, COS, SIN)
+    np.testing.assert_allclose(vr[R > 0.5], 2.5, atol=1e-12)
+    np.testing.assert_allclose(va, 0.0, atol=1e-12)
+
+
+def test_magnetic_tube_uniform_field():
+    """In a uniform Bz the constant-flux tube has constant radius, and
+    the tube average of a uniform quantity is that quantity."""
+    from tools.analysis import average_over_tube, select_magnetic_tube
+
+    zs, xs = 16, 33
+    xc = xs // 2
+    bz = np.ones((zs, xs))
+    xl = xc + 8
+    xmap = select_magnetic_tube(bz, xl)
+    np.testing.assert_allclose(xmap, xl - 1, atol=1)
+
+    data = np.full((zs, xs), 7.0)
+    avg = average_over_tube(data, xmap, xc, dx=0.5)
+    np.testing.assert_allclose(avg, 7.0, rtol=1e-12)
