@@ -101,3 +101,49 @@ def test_islot_matches_slot_weights(setup):
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(Islot), np.asarray(Islot_ref),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_pallas_step_route_matches_xla():
+    """End-to-end A/B of the two fill/push routes through the full fused
+    step: XPIC_FORCE_PALLAS must be a pure performance toggle.  Runs the
+    Pallas kernels in interpret mode on CPU (same routing code as on
+    TPU).  The jit cache is cleared around the flag flip because the
+    routing is resolved at trace time."""
+    import numpy as np
+
+    from xpic_tpu.config import Geometry
+    from xpic_tpu.ops.binning import bin_state
+    from xpic_tpu.parallel import step
+    from xpic_tpu.particles import ParticleArrays
+
+    geom = Geometry(dx=0.5, dy=0.5, dz=0.5, dt=1.5, nx=6, ny=6, nz=6, nt=1)
+    rng = np.random.default_rng(3)
+    n = geom.n_cells * 5
+    sp = ParticleArrays(
+        r=jnp.asarray(rng.random((n, 3)) * np.array(geom.L), jnp.float32),
+        p=jnp.asarray(rng.standard_normal((n, 3)) * 0.02, jnp.float32),
+        alive=jnp.ones(n, bool),
+    )
+    st = bin_state(sp, geom, 16)
+    shape = (3,) + geom.shape
+    E = jnp.asarray(rng.standard_normal(shape) * 1e-3, jnp.float32)
+    B = jnp.asarray(rng.standard_normal(shape) * 1e-3, jnp.float32)
+    B0 = jnp.zeros(shape, jnp.float32)
+    args = dict(geom=geom, q=-1.0, m=1.0, mpw=0.2, maxit=50)
+
+    old = step._FORCE_PALLAS
+    step.ecsim_step_binned.clear_cache()
+    try:
+        step._FORCE_PALLAS = False
+        E1, B1, st1, c1, _ = step.ecsim_step_binned(E, B, B0, st, **args)
+        E1, B1, c1, p1 = map(np.asarray, (E1, B1, c1, st1.p))
+        step.ecsim_step_binned.clear_cache()
+        step._FORCE_PALLAS = True
+        E2, B2, st2, c2, _ = step.ecsim_step_binned(E, B, B0, st, **args)
+        np.testing.assert_allclose(np.asarray(E2), E1, rtol=0, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(B2), B1, rtol=0, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(c2), c1, rtol=0, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(st2.p), p1, rtol=0, atol=2e-6)
+    finally:
+        step._FORCE_PALLAS = old
+        step.ecsim_step_binned.clear_cache()

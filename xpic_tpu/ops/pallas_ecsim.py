@@ -32,6 +32,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+
+def _pick_block(G: int, block_g: int) -> int:
+    """Largest divisor of G that is <= block_g, preferring multiples of 8
+    (sublane-friendly).  Guards against the degenerate bg=1 grid that a
+    plain halving loop produces for odd G — one cell per grid program is
+    pathological launch overhead."""
+    bg = min(block_g, G)
+    divisors = [c for c in range(bg, 0, -1) if G % c == 0]
+    for cand in divisors:
+        if cand % 8 == 0:
+            return cand
+    return divisors[0]
+
 def _hat_node(t):
     """Order-1 node weights at offsets 0, 1: S1(t), S1(t-1) for t in [0,1)."""
     return 1.0 - t, t
@@ -150,9 +163,7 @@ def ecsim_gather_pallas(t, Fg, *, block_g: int = 128,
     (interpolate_E_s1, ecsim/simulation.cpp:8-64).
     """
     G, K, _ = t.shape
-    bg = min(block_g, G)
-    while G % bg:
-        bg //= 2
+    bg = _pick_block(G, block_g)
     grid = (G // bg,)
 
     t3 = jnp.transpose(t, (2, 0, 1)).astype(jnp.float32)
@@ -191,9 +202,7 @@ def ecsim_fill_pallas(t, v, B_p, valid, *, q: float, m: float, mpw: float,
     keeps the XLA einsum route).
     """
     G, K, _ = t.shape
-    bg = min(block_g, G)
-    while G % bg:
-        bg //= 2
+    bg = _pick_block(G, block_g)
     grid = (G // bg,)
 
     t3 = jnp.transpose(t, (2, 0, 1)).astype(jnp.float32)

@@ -38,6 +38,9 @@ def main(argv=None) -> int:
 
     from ..config import Config
     from ..schemes import build_simulation
+    from .distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
 
     with open(args.config) as fh:
         doc = json.load(fh)

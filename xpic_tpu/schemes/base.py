@@ -148,11 +148,20 @@ class Simulation:
         self.mesh = None
         if cfg.n_devices > 1:
             from ..parallel import mesh as pm
+            from ..parallel import step as pstep
 
             if len(jax.devices()) < cfg.n_devices:
                 raise RuntimeError(
                     f"config requests {cfg.n_devices} devices, "
                     f"only {len(jax.devices())} available"
+                )
+            if pstep._FORCE_PALLAS:
+                # pl.pallas_call has no SPMD partitioning rule: under
+                # GSPMD it would replicate the block inputs per device
+                # and destroy the decomposition.
+                raise RuntimeError(
+                    "XPIC_FORCE_PALLAS is incompatible with a multi-device "
+                    "mesh; unset it for sharded runs"
                 )
             self.mesh = pm.make_mesh(cfg.n_devices)
 
