@@ -92,6 +92,10 @@ def run_reference_config(tmp, scheme, *, L, d, dt, nt):
         sim.initialize()
         sim.calculate()
         sim.finalize()
+        hist = getattr(sim, "ksp_history", None)
+        if hist:
+            np.savetxt(os.path.join(cfg.out_dir, "temporal",
+                                    "ksp_iters.txt"), hist, fmt="%d")
     finally:
         os.environ.pop("XPIC_RNG", None)
         particles_load.seed(5489)
@@ -217,6 +221,19 @@ def test_ecsim_energy_table(ecsim_run):
     assert_table(ecsim_run, "ecsim", "energy.txt",
                  {"wE": 1e-4, "wB": 1e-5, "wK_electrons": 1e-4,
                   "sE": 1e-4, "sB": 1e-5, "sK_electrons": 1e-6})
+
+
+def test_ecsim_ksp_iterations_bounded(ecsim_run):
+    """Long-horizon solver health: KSP iteration counts stay within the
+    reference's budget (maxit=100, ecsim/simulation.h:15-18) and do not
+    drift upward over the 100-step horizon."""
+    iters = np.loadtxt(os.path.join(ecsim_run, "temporal", "ksp_iters.txt"))
+    assert iters.max() <= 100
+    first, last = iters[:10].mean(), iters[-10:].mean()
+    assert last <= max(2.0 * first, first + 5), (
+        f"KSP iteration growth: first-10 avg {first:.1f}, "
+        f"last-10 avg {last:.1f}"
+    )
 
 
 # -- ecsimcorr: + charge correction and energy bookkeeping ------------------

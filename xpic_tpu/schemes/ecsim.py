@@ -100,6 +100,10 @@ class EcsimSimulation(Simulation):
     def initialize_implementation(self) -> None:
         self.Ep = jnp.zeros_like(self.E)
         self.phase_timings: dict[str, float] = {}
+        # Per-step KSP iteration counts (KSPConvergedReasonView analog,
+        # ecsim/simulation.cpp:272-276) — observability for solver drift
+        # over long horizons.
+        self.ksp_history: list[int] = []
 
     # -- step phases (overridable by ecsimcorr) -----------------------
     def clear_sources(self) -> None:
@@ -133,6 +137,7 @@ class EcsimSimulation(Simulation):
             self.E, self.B, self.B0, self.currI, self._L, self.geom
         )
         self._ksp_iters = int(its)
+        self.ksp_history.append(self._ksp_iters)
         if not bool(ok):
             raise RuntimeError(
                 f"ECSIM field solve did not converge: |r|={float(rnorm):.3e} "
