@@ -66,7 +66,18 @@ def test_ecsim_host_phased_matches_fused(tmp_path):
     np.testing.assert_allclose(np.asarray(sim.E), E_f, rtol=0, atol=1e-14)
     np.testing.assert_allclose(np.asarray(sim.B), B_f, rtol=0, atol=1e-14)
     np.testing.assert_allclose(np.asarray(sim.J), currI_f, rtol=0, atol=1e-14)
+    # The scheme may grow K mid-step (check_load headroom policy), so
+    # compare the particle *contents*, not the slot layout: per-cell
+    # populations must match exactly, and the lexicographically sorted
+    # (r, p) rows must agree to the same tolerance as the fields.
     st_s = sim.species[0].state
-    assert np.array_equal(np.asarray(st_s.valid), v_f)
-    np.testing.assert_allclose(np.asarray(st_s.r), r_f, rtol=0, atol=1e-14)
-    np.testing.assert_allclose(np.asarray(st_s.p), p_f, rtol=0, atol=1e-14)
+    v_s = np.asarray(st_s.valid)
+    assert np.array_equal(v_s.sum(axis=1), v_f.sum(axis=1))
+
+    def packed(r, p, v):
+        rows = np.concatenate([r[v], p[v]], axis=1)
+        return rows[np.lexsort(rows.T[::-1])]
+
+    np.testing.assert_allclose(
+        packed(np.asarray(st_s.r), np.asarray(st_s.p), v_s),
+        packed(r_f, p_f, v_f), rtol=0, atol=1e-14)

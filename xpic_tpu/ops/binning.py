@@ -11,6 +11,7 @@ grid adds — no atomic scatters (the TPU answer to the reference's
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -196,8 +197,8 @@ def state_cell_ids(st: BinnedState, geom: Geometry) -> jax.Array:
     return jnp.where(st.valid, flat, geom.n_cells).astype(jnp.int32)
 
 
-def _rebin_core(st: BinnedState, geom: Geometry):
-    """Re-sort a drifted binned state into its new cells.
+def _rebin_global(st: BinnedState, geom: Geometry):
+    """Re-sort a drifted binned state into its new cells (global sort).
 
     One (id, slot)-keyed sort of the flat slot ids plus a single packed
     6-column gather — the per-step migration (update_cells_seq,
@@ -231,7 +232,9 @@ def _rebin_core(st: BinnedState, geom: Geometry):
         jnp.int32
     )
     counts = seg[1:] - seg[:G]
-    load = jnp.stack([jnp.max(counts), jnp.sum(jnp.maximum(counts - K, 0))])
+    load = jnp.stack(
+        [jnp.max(counts), jnp.sum(jnp.maximum(counts - K, 0))]
+    ).astype(jnp.int32)
 
     k = jnp.arange(K, dtype=jnp.int32)[None, :]
     pos = seg[:G, None] + k
@@ -243,6 +246,161 @@ def _rebin_core(st: BinnedState, geom: Geometry):
     r = jnp.where(valid[..., None], r, center)
     p = jnp.where(valid[..., None], p, 0.0)
     return BinnedState(r=r, p=p, valid=valid), load
+
+
+# Migration strategy (resolved at import per the jit-cache rule —
+# trace-time env reads are invisible to the cache key):
+#   global      the [G*K] payload sort above (default)
+#   auto        mover extraction, with an in-graph lax.cond fallback to
+#               the global sort when the mover buffer would overflow
+#   incremental mover extraction only (overflow counts as dropped)
+#
+# Measured on v5e at the 32³×50ppc bench shape (benchmarks/
+# profile_rebin*.py): global 36.6 ms, mover extraction 53.6 ms even at
+# a 6% mover fraction — computed-index gathers cost ~13-17 ms flat and
+# searchsorted ~40 ms on this backend, so any extract/merge scheme pays
+# more in data movement than the variadic sort saves in passes.  The
+# incremental path stays as an opt-in for backends with cheaper
+# gathers.
+_REBIN_MODE = os.environ.get("XPIC_REBIN", "global")
+# Static caps of the incremental path.  The mover buffer holds up to
+# NK/_MOVER_DIV slots; at most _A_MAX arrivals land per cell per step
+# (Poisson tails at ~100 ppc need ~K/4; overflow is a counted drop,
+# raised loudly by the schemes' check_load).
+_MOVER_DIV = int(os.environ.get("XPIC_REBIN_MOVER_DIV", "8"))
+_A_MAX = int(os.environ.get("XPIC_REBIN_AMAX", "32"))
+
+
+def _mover_cap(nk: int) -> int:
+    return min(nk, max(128, -(-nk // _MOVER_DIV // 128) * 128))
+
+
+def _rebin_incremental(st: BinnedState, geom: Geometry):
+    """Mover-extraction migration: sort only the cell-changers.
+
+    In the physical regime both this framework and the reference target
+    (v·dt ≲ dx, checked by the CFL guard), ~90% of particles stay in
+    their cell every step, so the global [G*K] payload sort of
+    :func:`_rebin_global` (measured 38 ms at the 32³×50ppc bench shape,
+    46% of the ECSIM step) mostly moves data that does not move.  This
+    path does the reference's ``update_cells`` (which splices only the
+    escaped points between per-cell lists,
+    src/interfaces/particles.cpp:79-112) with static shapes:
+
+    1. one *per-row* K-wide sort partitions each cell into
+       [stayers | movers | dead] (log²K passes, not log²(GK));
+    2. the movers are packed into an [M]-row buffer (M = NK/8 by
+       default) with one gather, and only that buffer is globally
+       sorted by destination cell;
+    3. arrivals are merged into the **tail** slots of their destination
+       row (arrival rank q → column K-1-q), which makes the merge a
+       static-columns select — no per-row scatter.
+
+    Rows are therefore [stayers.. | holes | ..arrivals]; every kernel
+    already masks by ``valid``, and the next step's per-row sort
+    re-compacts.  Deterministic and decomposition-independent: mover
+    order is (destination, source-cell, source-slot).
+
+    Returns ``(state, load)`` like :func:`_rebin_global`; movers beyond
+    the buffer cap or beyond ``_A_MAX`` arrivals into one cell count as
+    ``dropped`` (the schemes already raise on ``dropped > 0`` at their
+    host sync point; ``XPIC_REBIN=global`` is the escape hatch).
+    """
+    G, K = st.valid.shape
+    NK = G * K
+    M = _mover_cap(NK)
+    A = min(K, max(_A_MAX, K // 4))
+    ids = state_cell_ids(st, geom)  # [G, K], dead -> G
+    home = jnp.arange(G, dtype=jnp.int32)[:, None]
+    stay = st.valid & (ids == home)
+    move = st.valid & ~stay & (ids < G)
+
+    # 1. per-row partition: stayers first, movers next, dead last.
+    key = jnp.where(stay, 0, jnp.where(move, 1, 2)).astype(jnp.int32)
+    k_col = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (G, K))
+    out = jax.lax.sort(
+        (key, k_col,
+         st.r[..., 0], st.r[..., 1], st.r[..., 2],
+         st.p[..., 0], st.p[..., 1], st.p[..., 2]),
+        num_keys=2, dimension=1)
+    key_s = out[0]
+    r_s = jnp.stack(out[2:5], axis=-1)
+    p_s = jnp.stack(out[5:8], axis=-1)
+    s = jnp.sum(key_s == 0, axis=1).astype(jnp.int32)  # stayers per cell
+    m = jnp.sum(key_s == 1, axis=1).astype(jnp.int32)  # movers per cell
+
+    # 2. pack movers (one gather of M rows; cost scales with M, not NK).
+    moff = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(m).astype(jnp.int32)])
+    total_m = moff[-1]
+    i = jnp.arange(M, dtype=jnp.int32)
+    src_g = (jnp.searchsorted(moff, i, side="right").astype(jnp.int32) - 1)
+    src_g = jnp.clip(src_g, 0, G - 1)
+    src_k = s[src_g] + (i - moff[src_g])
+    packed = jnp.concatenate([r_s, p_s], axis=-1).reshape(NK, 6)
+    buf = packed[jnp.clip(src_g * K + src_k, 0, NK - 1)]  # [M, 6]
+    in_buf = i < total_m
+
+    # destination ids recomputed from the gathered positions (avoids a
+    # second int gather; positions are already boundary-wrapped).
+    n3 = jnp.asarray([geom.nx, geom.ny, geom.nz], jnp.int32)
+    c = jnp.clip(jnp.floor(buf[:, :3]).astype(jnp.int32), 0, n3 - 1)
+    dest = (c[:, 2] * geom.ny + c[:, 1]) * geom.nx + c[:, 0]
+    dest = jnp.where(in_buf, dest, G).astype(jnp.int32)
+
+    # 3. sort only the buffer; merge arrivals into tail columns.
+    bout = jax.lax.sort(
+        (dest, i, buf[:, 0], buf[:, 1], buf[:, 2],
+         buf[:, 3], buf[:, 4], buf[:, 5]),
+        num_keys=2)
+    dest_s = bout[0]
+    buf_s = jnp.stack(bout[2:], axis=-1)  # [M, 6]
+    aoff = jnp.searchsorted(dest_s, jnp.arange(G + 1, dtype=jnp.int32)
+                            ).astype(jnp.int32)
+    a = aoff[1:] - aoff[:G]  # captured arrivals per cell
+
+    qs = jnp.arange(A, dtype=jnp.int32)[None, :]
+    okq = (qs < a[:, None]) & ((K - 1 - qs) >= s[:, None])  # [G, A]
+    blk = buf_s[jnp.clip((aoff[:G, None] + qs).reshape(-1), 0, M - 1)]
+    blk = blk.reshape(G, A, 6)[:, ::-1, :]  # arrival q at column K-1-q
+    okq_r = okq[:, ::-1]
+
+    center = _cell_centers(geom, st.r.dtype)
+    valid_stay = k_col < s[:, None]
+    r_new = jnp.where(valid_stay[..., None], r_s, center)
+    p_new = jnp.where(valid_stay[..., None], p_s, 0.0)
+    r_new = jnp.concatenate(
+        [r_new[:, : K - A],
+         jnp.where(okq_r[..., None], blk[..., :3], r_new[:, K - A:])], axis=1)
+    p_new = jnp.concatenate(
+        [p_new[:, : K - A],
+         jnp.where(okq_r[..., None], blk[..., 3:], p_new[:, K - A:])], axis=1)
+    valid_new = jnp.concatenate(
+        [valid_stay[:, : K - A], valid_stay[:, K - A:] | okq_r], axis=1)
+
+    accepted = jnp.sum(okq, axis=1)
+    dropped = total_m - jnp.sum(accepted)
+    load = jnp.stack([jnp.max(s + a), dropped]).astype(jnp.int32)
+    return BinnedState(r=r_new, p=p_new, valid=valid_new), load
+
+
+def _rebin_core(st: BinnedState, geom: Geometry):
+    """Per-step migration with the strategy picked by ``XPIC_REBIN``."""
+    if _REBIN_MODE == "global":
+        return _rebin_global(st, geom)
+    if _REBIN_MODE == "incremental":
+        return _rebin_incremental(st, geom)
+    # auto: mover extraction unless the buffer would overflow this step
+    ids = state_cell_ids(st, geom)
+    home = jnp.arange(st.n_cells, dtype=jnp.int32)[:, None]
+    total_m = jnp.sum(st.valid & (ids != home) & (ids < st.n_cells))
+    fits = total_m <= _mover_cap(st.n_cells * st.slots)
+    return jax.lax.cond(
+        fits,
+        lambda s_: _rebin_incremental(s_, geom),
+        lambda s_: _rebin_global(s_, geom),
+        st,
+    )
 
 
 @partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))

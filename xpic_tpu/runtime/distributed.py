@@ -43,7 +43,17 @@ def maybe_initialize_distributed() -> bool:
         if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
             "MEGASCALE_COORDINATOR_ADDRESS"
         ):
-            jax.distributed.initialize()
+            # Pod-shaped environments are not always real pods (tunneled
+            # single-chip dev setups leak these variables); if JAX cannot
+            # resolve a coordinator, run single-host rather than abort.
+            try:
+                jax.distributed.initialize()
+            except (ValueError, RuntimeError) as exc:
+                log.warning(
+                    "Pod-like environment but jax.distributed.initialize "
+                    "failed (%s); continuing single-host", exc,
+                )
+                return False
             log.info(
                 "Joined multi-host runtime: process %d/%d, %d devices",
                 jax.process_index(), jax.process_count(), len(jax.devices()),
