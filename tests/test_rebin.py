@@ -82,6 +82,53 @@ def test_forced_incremental_reports_buffer_overflow_as_dropped():
     assert int(load[1]) > 0  # loud, never silent loss
 
 
+def test_load_reports_moved_count():
+    """load[2] must equal the number of particles that changed cell
+    (the reference's per-exchange statistics,
+    interfaces/particles.cpp:227-246)."""
+    geom = _geom()
+    st = B._drift_impl(_state(geom, vth=0.014), geom)
+    ids = np.asarray(B.state_cell_ids(st, geom))
+    home = np.arange(geom.n_cells)[:, None]
+    expected = int(
+        ((ids != home) & (ids < geom.n_cells) & np.asarray(st.valid)).sum()
+    )
+    _, l_glob = B._rebin_global(st, geom)
+    _, l_inc = B._rebin_incremental(st, geom)
+    assert int(l_glob[2]) == expected > 0
+    assert int(l_inc[2]) == expected
+
+
+def test_species_log_distribution_runs(caplog):
+    import logging
+    from xpic_tpu.config import SortParameters
+    from xpic_tpu.particles import ParticleArrays
+    from xpic_tpu.schemes.base import Species
+
+    geom = _geom()
+    rng = np.random.default_rng(0)
+    n = 64
+    sp = Species(
+        SortParameters(sort_name="e", Np=1, n=1.0, q=-1.0, m=1.0),
+        ParticleArrays(
+            r=jnp.asarray(rng.random((n, 3)) * np.array(geom.L)),
+            p=jnp.asarray(rng.standard_normal((n, 3)) * 0.1),
+            alive=jnp.ones(n, bool),
+        ),
+        geom,
+    )
+    with caplog.at_level(logging.DEBUG, logger="xpic"):
+        sp.log_distribution()
+    assert "velocity distribution histogram" in caplog.text
+    # every live particle lands in exactly one bin per axis
+    counts = [
+        sum(int(w) for w in rec.getMessage().split()[-3:])
+        for rec in caplog.records
+        if rec.getMessage().strip()[:1].isdigit()
+    ]
+    assert sum(counts) == 3 * n
+
+
 def test_arrival_tail_slots_hold_centers_when_invalid():
     """Invalid slots must park at the cell center (finite weights)."""
     geom = _geom()

@@ -206,15 +206,18 @@ def _rebin_global(st: BinnedState, geom: Geometry):
     tiebreaker makes the permutation unique, so per-cell deposit order
     is reproducible across runs and decompositions.
 
-    Returns ``(state, load)`` where ``load = [max_per_cell, dropped]``
-    (int32): the maximum true occupancy of any cell before padding, and
-    the number of live particles dropped because their destination cell
-    exceeded the K slots.
+    Returns ``(state, load)`` where ``load = [max_per_cell, dropped,
+    moved]`` (int32): the maximum true occupancy of any cell before
+    padding, the number of live particles dropped because their
+    destination cell exceeded the K slots, and the number that changed
+    cell this step (the reference's sent/received exchange statistics,
+    interfaces/particles.cpp:227-246).
     """
     G, K = st.valid.shape
     NK = G * K
     ids = state_cell_ids(st, geom).reshape(NK)
     tie = jnp.arange(NK, dtype=jnp.int32)
+    moved = jnp.sum((ids != tie // K) & (ids < G))
     cols = (
         st.r[..., 0].reshape(NK), st.r[..., 1].reshape(NK),
         st.r[..., 2].reshape(NK),
@@ -233,7 +236,7 @@ def _rebin_global(st: BinnedState, geom: Geometry):
     )
     counts = seg[1:] - seg[:G]
     load = jnp.stack(
-        [jnp.max(counts), jnp.sum(jnp.maximum(counts - K, 0))]
+        [jnp.max(counts), jnp.sum(jnp.maximum(counts - K, 0)), moved]
     ).astype(jnp.int32)
 
     k = jnp.arange(K, dtype=jnp.int32)[None, :]
@@ -380,7 +383,7 @@ def _rebin_incremental(st: BinnedState, geom: Geometry):
 
     accepted = jnp.sum(okq, axis=1)
     dropped = total_m - jnp.sum(accepted)
-    load = jnp.stack([jnp.max(s + a), dropped]).astype(jnp.int32)
+    load = jnp.stack([jnp.max(s + a), dropped, total_m]).astype(jnp.int32)
     return BinnedState(r=r_new, p=p_new, valid=valid_new), load
 
 
@@ -413,7 +416,8 @@ def rebin(st: BinnedState, geom: Geometry) -> BinnedState:
 
 @partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))
 def rebin_checked(st: BinnedState, geom: Geometry):
-    """:func:`rebin` plus the occupancy ``load = [max_per_cell, dropped]``.
+    """:func:`rebin` plus the occupancy
+    ``load = [max_per_cell, dropped, moved]``.
 
     The schemes check ``dropped == 0`` at their existing host sync point
     (the solver-convergence fetch) and use ``max_per_cell`` to grow K

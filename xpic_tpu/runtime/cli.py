@@ -24,6 +24,12 @@ def main(argv=None) -> int:
     parser.add_argument("config", help="path to the JSON configuration file")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument(
+        "--verbose", action="store_true",
+        help="debug-level log: per-step migration statistics and the "
+             "initial velocity-distribution histograms "
+             "(interfaces/particles.cpp:227-246,295-326)",
+    )
+    parser.add_argument(
         "--set", action="append", default=[], metavar="PATH=JSON",
         help="override a config entry, e.g. --set Geometry.t=30 "
              "--set Simulation='\"ecsim\"' (the runtime-tuning analog of "
@@ -32,7 +38,8 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     logging.basicConfig(
-        level=logging.WARNING if args.quiet else logging.INFO,
+        level=(logging.WARNING if args.quiet
+               else logging.DEBUG if args.verbose else logging.INFO),
         format="%(message)s",
     )
 

@@ -62,6 +62,9 @@ class Species:
         # refreshes it (used only to skip work for empty species, so a
         # stale over-estimate is harmless).
         self.n = 0
+        # Particles that changed cell in the last checked migration (the
+        # reference's per-exchange sent/received statistic).
+        self.migrated = 0
 
     # -- flat view ------------------------------------------------------
     @property
@@ -131,6 +134,31 @@ class Species:
         else:
             self.n = int(np.asarray(self._flat.alive).sum())
         return self.n
+
+    def log_distribution(self) -> None:
+        """Log a 128-bin per-axis momentum histogram (the reference's
+        ``Particles::log_distribution``, interfaces/particles.cpp:295-326:
+        bin = floor(p * 64) + 64, i.e. p in [-1, 1) c-units)."""
+        hist_w = 128
+        hist_h = hist_w // 2
+        flat = self.arrays
+        p = np.asarray(flat.p)[np.asarray(flat.alive)]
+        if p.size == 0:
+            return
+        bins = np.clip((p * hist_h).astype(np.int64) + hist_h, 0, hist_w - 1)
+        hist = np.stack(
+            [np.bincount(bins[:, ax], minlength=hist_w) for ax in range(3)]
+        )
+        log.debug("    %s velocity distribution histogram:",
+                  self.params.sort_name)
+        log.debug("    %3s  %6s: %9s %9s %9s",
+                  "bin", "v[c]", "hist[X]", "hist[Y]", "hist[Z]")
+        for i in range(hist_w):
+            if not hist[:, i].any():
+                continue
+            log.debug("    %3d  % 5.3f: %9d %9d %9d",
+                      i, i / hist_h - 1.0, hist[0, i], hist[1, i],
+                      hist[2, i])
 
 
 class Simulation:
@@ -204,6 +232,8 @@ class Simulation:
         self.rebin_all()
         for sp in self.species:
             sp.count()  # seed the host-tracked counts
+            if log.isEnabledFor(logging.DEBUG):
+                sp.log_distribution()
 
         for diag in self.diagnostics:
             diag.diagnose(self.start)
@@ -274,11 +304,21 @@ class Simulation:
     def check_load(self, sp: Species, load) -> None:
         """Police the per-cell capacity after a checked rebin.
 
-        ``load = [max_per_cell, dropped]``.  Any dropped particle is a
-        hard error (the reference's list cells cannot overflow); a cell
-        within 2 of capacity grows K for the next step.
+        ``load = [max_per_cell, dropped, moved]``.  Any dropped particle
+        is a hard error (the reference's list cells cannot overflow); a
+        cell within 2 of capacity grows K for the next step.  ``moved``
+        is kept as the per-step exchange statistic (the reference logs
+        sent/received counts per migration,
+        interfaces/particles.cpp:227-246).
         """
-        max_load, dropped = (int(v) for v in np.asarray(load))
+        vals = [int(v) for v in np.asarray(load)]
+        max_load, dropped = vals[0], vals[1]
+        sp.migrated = vals[2] if len(vals) > 2 else 0
+        if log.isEnabledFor(logging.DEBUG):
+            log.debug(
+                "  %s: %d particles changed cell (max load %d / K=%d)",
+                sp.params.sort_name, sp.migrated, max_load, sp.slots,
+            )
         if dropped:
             raise RuntimeError(
                 f"species {sp.params.sort_name!r}: {dropped} particles "
