@@ -105,3 +105,15 @@ def test_backup_rolling_window(tmp_path):
     # num_periods_being_kept = 2 (simulation_backup.cpp:46)
     assert kept == ["3", "4"]
     sim.finalize()
+
+
+def test_backup_save_sources(tmp_path):
+    """`save_sources: true` copies the framework tree into <backup>/src
+    (Configuration::save_sources, src/utils/configuration.cpp:38-47)."""
+    sim = make_sim(tmp_path)
+    backup = SimulationBackup.from_json(sim, {"save_sources": True})
+    src = os.path.join(backup.out_dir, "src")
+    assert os.path.isfile(os.path.join(src, "config.py"))
+    assert os.path.isfile(
+        os.path.join(src, "diagnostics", "simulation_backup.py"))
+    assert not any("__pycache__" in d for d, _, _ in os.walk(src))

@@ -68,11 +68,27 @@ class SimulationBackup:
             units["dt"],
         )
         backup = cls(simulation, period)
+        if info.get("save_sources"):
+            backup.save_sources()
         load_from = info.get("load_from")
         if isinstance(load_from, int):
             backup.load(load_from)
             simulation.start = load_from
         return backup
+
+    def save_sources(self) -> None:
+        """Copy the framework source tree into ``<backup>/src`` for
+        provenance (Configuration::save_sources,
+        src/utils/configuration.cpp:38-47 via
+        simulation_backup_builder.cpp:47-48)."""
+        import shutil
+
+        src_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst = os.path.join(self.out_dir, "src")
+        shutil.copytree(
+            src_dir, dst, dirs_exist_ok=True,
+            ignore=shutil.ignore_patterns("__pycache__", "*.pyc"),
+        )
 
     # -- save ---------------------------------------------------------
     def _dir(self, t: int) -> str:

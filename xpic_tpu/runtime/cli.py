@@ -24,6 +24,13 @@ def main(argv=None) -> int:
     parser.add_argument("config", help="path to the JSON configuration file")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument(
+        "--trace", metavar="DIR", default=None,
+        help="capture a jax.profiler device trace of the main loop into "
+             "DIR (viewable with TensorBoard/Perfetto) — the deep-dive "
+             "analog of the reference's PETSc log stages "
+             "(interfaces/simulation.cpp:83-93)",
+    )
+    parser.add_argument(
         "--verbose", action="store_true",
         help="debug-level log: per-step migration statistics and the "
              "initial velocity-distribution histograms "
@@ -82,7 +89,14 @@ def main(argv=None) -> int:
     simulation = build_simulation(cfg)
     try:
         simulation.initialize()
-        simulation.calculate()
+        if args.trace:
+            import jax
+
+            with jax.profiler.trace(args.trace):
+                simulation.calculate()
+            log.info("Device trace written to %s", args.trace)
+        else:
+            simulation.calculate()
     finally:
         simulation.finalize()
     return 0
