@@ -105,6 +105,33 @@ def test_distribution_moment_dump_files(tmp_path):
     )
 
 
+def test_distribution_moment_region_is_slice_of_full(tmp_path):
+    """A region-restricted moment dump must be exactly the sub-box of
+    the full-grid dump (distribution_moment.cpp:212-313 computes the
+    moment over the region only; capability parity here is a full
+    collect + slice)."""
+    sim = make_sim(tmp_path, [
+        {"diagnostic": "DistributionMoment", "particles": "electrons",
+         "moment": "density"},
+        {"diagnostic": "DistributionMoment", "particles": "electrons",
+         "moment": "density",
+         "region": {"suffix": "box",
+                    "start": ["1 [dx]", "2 [dy]", "0 [dz]"],
+                    "size": ["4 [dx]", "3 [dy]", "5 [dz]"]}},
+    ], name="diag_region", nt=1)
+    sim.calculate()
+    sim.finalize()
+    g = sim.geom
+    base = os.path.join(sim.cfg.out_dir, "electrons")
+    full = np.fromfile(os.path.join(base, "density", "0"),
+                       dtype=np.float32).reshape(g.nz, g.ny, g.nx)
+    reg = np.fromfile(os.path.join(base, "density_box", "0"),
+                      dtype=np.float32)
+    assert reg.size == 5 * 3 * 4
+    np.testing.assert_array_equal(
+        reg.reshape(5, 3, 4), full[0:5, 2:5, 1:5])
+
+
 # -- VelocityDistribution -------------------------------------------------------
 
 

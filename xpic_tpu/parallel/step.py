@@ -113,7 +113,12 @@ def advance_phase(E, B, B0, currI, L, geom: Geometry, *, tol, maxit):
     if P is not None:
         shift = jnp.einsum("gcici->", L) / (3.0 * geom.n_cells)
         M_inv = lambda v: P(v, shift)  # noqa: E731
-    return gmres(matA, rhs, x0=E, rtol=tol, atol=tol, maxit=maxit,
+    # Initial guess rhs/2 = E - dt/2 J + dt/2 curl(B-B0): the explicit
+    # first-order predictor of the half-step field (matA ~ 2I + O(dt^2)
+    # + L).  Measured one full GMRES iteration cheaper per step than
+    # x0=E at the bench shape (benchmarks/profile_gmres_x0.py: 4 vs 5
+    # iters over 20 steps).
+    return gmres(matA, rhs, x0=0.5 * rhs, rtol=tol, atol=tol, maxit=maxit,
                  M_inv=M_inv)
 
 
