@@ -1,0 +1,74 @@
+"""Worker process for the multi-process decomposition test.
+
+The literal analog of the reference re-running its golden binaries
+under ``mpiexec -np 2`` (tests/ecsim/CMakeLists.txt:16-18): each worker
+joins the distributed runtime via ``maybe_initialize_distributed``
+(runtime/distributed.py — the PetscInitialize analog), then runs the
+identical config-driven ecsim simulation over the global device mesh.
+Spawned by tests/test_multiprocess.py with XPIC_COORDINATOR /
+XPIC_NUM_PROCESSES / XPIC_PROCESS_ID set.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/xpic_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+
+def main() -> None:
+    from xpic_tpu.runtime.distributed import maybe_initialize_distributed
+
+    joined = maybe_initialize_distributed()
+    assert joined, "worker did not join the distributed runtime"
+    nproc = int(os.environ["XPIC_NUM_PROCESSES"])
+    assert jax.process_count() == nproc, (
+        f"process_count {jax.process_count()} != {nproc}"
+    )
+    n_global = len(jax.devices())
+    n_local = len(jax.local_devices())
+    assert n_global == n_local * nproc, (n_global, n_local, nproc)
+
+    from xpic_tpu.commands import particles_load
+    from xpic_tpu.config import Config
+    from xpic_tpu.schemes import build_simulation
+
+    particles_load.seed(7)
+    out = os.environ["XPIC_TEST_OUT"]
+    steps, dt = 3, 1.5
+    doc = {
+        "Simulation": "ecsim",
+        "OutputDirectory": out,
+        "Mesh": n_global,
+        "Geometry": {
+            "x": 4.0, "y": 4.0, "z": 4.0, "t": steps * dt,
+            "dx": 0.5, "dy": 0.5, "dz": 0.5, "dt": dt,
+            "diagnose_period": 1,
+            "da_boundary_x": "DM_BOUNDARY_PERIODIC",
+            "da_boundary_y": "DM_BOUNDARY_PERIODIC",
+            "da_boundary_z": "DM_BOUNDARY_PERIODIC",
+        },
+        "Particles": [
+            {"sort_name": "electrons", "Np": 10, "n": 1.0, "q": -1.0,
+             "m": 1.0, "T": 0.1}
+        ],
+        "Presets": [
+            {"command": "SetParticles", "particles": "electrons",
+             "coordinate": {"name": "CoordinateInBox"},
+             "momentum": {"name": "MaxwellianMomentum", "tov": True}},
+        ],
+    }
+    sim = build_simulation(Config.from_json(doc))
+    sim.initialize()
+    sim.calculate()
+    sim.finalize()
+    print(f"worker {jax.process_index()} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -35,8 +35,12 @@ def make_state(seed=0):
     return jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape), sp
 
 
-def _run_sim(tmp_path, scheme, n_devices, steps=5):
-    """Full config-driven run (commands + diagnostics) on a mesh."""
+def _run_sim(tmp_path, scheme, mesh, steps=5, pz=0.0, T=0.1):
+    """Full config-driven run (commands + diagnostics) on a mesh.
+
+    ``mesh`` is the raw "Mesh" config value: a device count or a
+    ``{"z": Dz, "y": Dy}`` mapping (the -da_processors_* analog).
+    ``pz`` adds a z drift to every particle (migration stress)."""
     from xpic_tpu.commands import particles_load
     from xpic_tpu.config import Config
     from xpic_tpu.schemes import build_simulation
@@ -45,11 +49,12 @@ def _run_sim(tmp_path, scheme, n_devices, steps=5):
     # dt=1.5 is the semi-implicit selling point; the explicit scheme
     # needs a CFL-safe step (reference: basic runs its own config).
     dt = 1.5 if scheme != "basic" else 0.2
-    out = tmp_path / f"out_{scheme}_{n_devices}"
+    tag = str(mesh).replace(" ", "").replace("'", "").replace(":", "")
+    out = tmp_path / f"out_{scheme}_{tag}_{pz}"
     doc = {
         "Simulation": scheme,
         "OutputDirectory": str(out),
-        "Mesh": n_devices,
+        "Mesh": mesh,
         "Geometry": {
             "x": 4.0, "y": 4.0, "z": 4.0, "t": steps * dt,
             "dx": 0.5, "dy": 0.5, "dz": 0.5, "dt": dt,
@@ -60,7 +65,7 @@ def _run_sim(tmp_path, scheme, n_devices, steps=5):
         },
         "Particles": [
             {"sort_name": "electrons", "Np": 10, "n": 1.0, "q": -1.0,
-             "m": 1.0, "T": 0.1}
+             "m": 1.0, "T": T, "pz": pz}
         ],
         "Presets": [
             {"command": "SetParticles", "particles": "electrons",
@@ -85,22 +90,56 @@ def _read_table(path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-@pytest.mark.parametrize("scheme", ["ecsim", "basic"])
+@pytest.mark.parametrize("scheme", ["ecsim", "basic", "ecsimcorr",
+                                    "eccapfim"])
 def test_full_simulation_decomposition_invariance(tmp_path, scheme):
     """The reference's distributed bar: the same run under a different
     decomposition must reproduce the identical temporal tables
     (tests/ecsim/CMakeLists.txt:16-18 re-runs the golden test under
     ``mpiexec -np 2 -da_processors_x 2``).  Here: the full config-driven
     production path — commands, scheme step, diagnostics — on 1 device
-    vs the 8-device mesh."""
-    out1 = _run_sim(tmp_path, scheme, 1)
-    out8 = _run_sim(tmp_path, scheme, 8)
+    vs the 8-device mesh, for all four schemes."""
+    steps = 3 if scheme == "eccapfim" else 5  # Picard runs are pricey on CPU
+    out1 = _run_sim(tmp_path, scheme, 1, steps=steps)
+    out8 = _run_sim(tmp_path, scheme, 8, steps=steps)
     for table in ("energy_conservation.txt", "charge_conservation.txt"):
         h1, rows1 = _read_table(out1 / "temporal" / table)
         h8, rows8 = _read_table(out8 / "temporal" / table)
         assert h1 == h8
         np.testing.assert_allclose(rows1, rows8, rtol=0, atol=1e-11,
                                    err_msg=f"{scheme}:{table}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_full_simulation_2d_mesh_invariance(tmp_path):
+    """1 device vs the 2-D (Dz=4, Dy=2) mesh — the per-axis processor
+    count analog (-da_processors_z 4 -da_processors_y 2,
+    src/utils/configuration.cpp:117-130)."""
+    out1 = _run_sim(tmp_path, "ecsim", 1)
+    out42 = _run_sim(tmp_path, "ecsim", {"z": 4, "y": 2})
+    for table in ("energy_conservation.txt", "charge_conservation.txt"):
+        h1, rows1 = _read_table(out1 / "temporal" / table)
+        h2, rows2 = _read_table(out42 / "temporal" / table)
+        assert h1 == h2
+        np.testing.assert_allclose(rows1, rows2, rtol=0, atol=1e-11,
+                                   err_msg=f"2d-mesh:{table}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_migration_storm_invariance(tmp_path):
+    """Mesh-boundary-crossing stress: a cold beam streaming in z at
+    ~0.17 cells/step for 20 steps — every particle repeatedly crosses
+    the z-sharded mesh boundaries (the reference's hot path:
+    update_cells_mpi 27-neighbor exchange, interfaces/particles.cpp:118-248).
+    Tables must stay decomposition-invariant through the storm."""
+    kw = dict(steps=20, pz=0.056, T=0.01)  # 0.056 c * 1.5 dt / 0.5 dx
+    out1 = _run_sim(tmp_path, "ecsim", 1, **kw)
+    out8 = _run_sim(tmp_path, "ecsim", 8, **kw)
+    for table in ("energy_conservation.txt", "charge_conservation.txt"):
+        h1, rows1 = _read_table(out1 / "temporal" / table)
+        h8, rows8 = _read_table(out8 / "temporal" / table)
+        np.testing.assert_allclose(rows1, rows8, rtol=0, atol=1e-11,
+                                   err_msg=f"storm:{table}")
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")

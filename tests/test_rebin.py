@@ -139,3 +139,83 @@ def test_arrival_tail_slots_hold_centers_when_invalid():
     bad = ~v[..., None] & (r != centers[:, None, :])
     assert not bad.any()
     assert np.all(np.asarray(s_inc.p)[~v] == 0.0)
+
+
+# -- neighbor-exchange migration (ops/neighbor_rebin) -----------------------
+
+
+def _state32(geom, vth, slots=40, seed=3, ppc=20):
+    rng = np.random.default_rng(seed)
+    n = geom.n_cells * ppc
+    sp = ParticleArrays(
+        r=jnp.asarray(rng.random((n, 3)) * np.array(geom.L), jnp.float32),
+        p=jnp.asarray(rng.standard_normal((n, 3)) * vth, jnp.float32),
+        alive=jnp.ones(n, bool),
+    )
+    return B.bin_state(sp, geom, slots)
+
+
+def test_neighbor_matches_global_over_steps():
+    """The dimension-split neighbor exchange reproduces the global sort's
+    per-cell multisets and load stats exactly (the reference's
+    update_cells semantics, src/interfaces/particles.cpp:79-112)."""
+    from xpic_tpu.ops.neighbor_rebin import far_mover_count
+
+    geom = Geometry(dx=0.5, dy=0.5, dz=0.5, dt=1.5, nx=8, ny=6, nz=4, nt=1)
+    st = _state32(geom, vth=0.05)
+    for _ in range(3):
+        st = B._drift_impl(st, geom)
+        assert int(far_mover_count(st, geom)) == 0
+        s_glob, l_glob = B._rebin_global(st, geom)
+        s_nb, l_nb = B._rebin_neighbor_guarded(st, geom)
+        assert [int(v) for v in np.asarray(l_glob)] == \
+               [int(v) for v in np.asarray(l_nb)]
+        assert _cell_sets(s_nb, geom) == _cell_sets(s_glob, geom)
+        st = s_nb
+
+
+def test_neighbor_falls_back_on_far_movers():
+    """Hot particles that jump more than one cell must route to the
+    global sort inside the guarded dispatcher — never silently drop."""
+    from xpic_tpu.ops.neighbor_rebin import far_mover_count
+
+    geom = _geom()
+    st = B._drift_impl(_state32(geom, vth=2.0), geom)
+    assert int(far_mover_count(st, geom)) > 0
+    s_glob, l_glob = B._rebin_global(st, geom)
+    s_nb, l_nb = B._rebin_neighbor_guarded(st, geom)
+    assert [int(v) for v in np.asarray(l_glob)] == \
+           [int(v) for v in np.asarray(l_nb)]
+    assert _cell_sets(s_nb, geom) == _cell_sets(s_glob, geom)
+
+
+def test_neighbor_open_boundaries_and_f64_route():
+    """Open (non-periodic) boundaries: killed particles vanish from both
+    paths identically; f64 states take the global path (structure
+    parity of the guarded dispatcher)."""
+    geom = Geometry(dx=0.5, dy=0.5, dz=0.5, dt=1.5, nx=6, ny=6, nz=6,
+                    nt=1, bounds=("open", "periodic", "open"))
+    st = _state32(geom, vth=0.3)
+    st = B._drift_impl(st, geom)
+    s_glob, l_glob = B._rebin_global(st, geom)
+    s_nb, l_nb = B._rebin_neighbor_guarded(st, geom)
+    assert [int(v) for v in np.asarray(l_glob)] == \
+           [int(v) for v in np.asarray(l_nb)]
+    assert _cell_sets(s_nb, geom) == _cell_sets(s_glob, geom)
+
+    # f64 (parity path) routes to the global sort and keeps the contract
+    st64 = B._drift_impl(_state(geom, vth=0.05), geom)
+    s64, l64 = B._rebin_neighbor_guarded(st64, geom)
+    sg64, lg64 = B._rebin_global(st64, geom)
+    assert _cell_sets(s64, geom) == _cell_sets(sg64, geom)
+
+
+def test_neighbor_invalid_slots_hold_centers():
+    geom = _geom()
+    st = B._drift_impl(_state32(geom, vth=0.05), geom)
+    s_nb, _ = B._rebin_neighbor_guarded(st, geom)
+    centers = np.asarray(B._cell_centers(geom, s_nb.r.dtype))[:, 0, :]
+    r, v = np.asarray(s_nb.r), np.asarray(s_nb.valid)
+    bad = ~v[..., None] & (r != centers[:, None, :])
+    assert not bad.any()
+    assert np.all(np.asarray(s_nb.p)[~v] == 0.0)

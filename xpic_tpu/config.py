@@ -281,13 +281,28 @@ class Config:
     # reference's mpiexec -n N + -da_processors_* decomposition options,
     # src/utils/world.cpp:36-46).  1 = unsharded single chip.
     n_devices: int = 1
+    # Mesh shape: (Dz,) for a 1-D z mesh, (Dz, Dy) for a 2-D z*y mesh
+    # (the per-axis processor counts, configuration.cpp:117-130).
+    mesh_shape: tuple = (1,)
 
     @staticmethod
     def from_json(doc: Mapping[str, Any]) -> "Config":
         geometry = geometry_from_json(doc["Geometry"])
+        # "Mesh": N (1-D z mesh) or {"z": Dz, "y": Dy} (2-D, the
+        # -da_processors_* analog).  {"devices": N} is the legacy form.
         mesh_doc = doc.get("Mesh", 1)
         if isinstance(mesh_doc, Mapping):
-            mesh_doc = mesh_doc.get("devices", 1)
+            if "z" in mesh_doc or "y" in mesh_doc:
+                dz = int(mesh_doc.get("z", 1))
+                dy = int(mesh_doc.get("y", 1))
+                mesh_shape = (dz, dy) if dy > 1 else (dz,)
+            else:
+                mesh_shape = (int(mesh_doc.get("devices", 1)),)
+        else:
+            mesh_shape = (int(mesh_doc),)
+        n_devices = 1
+        for d in mesh_shape:
+            n_devices *= d
         return Config(
             scheme=str(doc["Simulation"]),
             out_dir=str(doc.get("OutputDirectory", "results/out")),
@@ -298,7 +313,8 @@ class Config:
             diagnostics=tuple(doc.get("Diagnostics", ())),
             backup=doc.get("SimulationBackup"),
             raw=doc,
-            n_devices=int(mesh_doc),
+            n_devices=n_devices,
+            mesh_shape=mesh_shape,
         )
 
     @staticmethod

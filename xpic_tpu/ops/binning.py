@@ -253,6 +253,12 @@ def _rebin_global(st: BinnedState, geom: Geometry):
 
 # Migration strategy (resolved at import per the jit-cache rule —
 # trace-time env reads are invisible to the cache key):
+#   neighbor    dimension-split neighbor exchange (ops/neighbor_rebin):
+#               3 axis passes of rolls + an in-VMEM rank/one-hot-matmul
+#               compaction kernel; falls back to the global sort in-graph
+#               (lax.cond) when any particle moved more than one cell
+#               along an axis.  f32 only (the f64 parity path keeps the
+#               global sort).
 #   global      the [G*K] payload sort above (default)
 #   auto        mover extraction, with an in-graph lax.cond fallback to
 #               the global sort when the mover buffer would overflow
@@ -387,8 +393,38 @@ def _rebin_incremental(st: BinnedState, geom: Geometry):
     return BinnedState(r=r_new, p=p_new, valid=valid_new), load
 
 
+def _pallas_interpret() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("tpu", "axon")
+    except Exception:  # pragma: no cover - no backend at all
+        return True
+
+
+def _rebin_neighbor_guarded(st: BinnedState, geom: Geometry):
+    """Neighbor exchange with an in-graph fallback to the global sort
+    when any live slot moved more than one cell along an axis (the
+    reference's 26-neighbor exchange has the same reach,
+    src/interfaces/particles.cpp:118-248)."""
+    from .neighbor_rebin import far_mover_count, rebin_neighbor
+
+    # f32 data AND x64 mode off: Mosaic on the current TPU toolchain
+    # cannot legalize kernels traced with 64-bit index types (measured:
+    # even a trivial pallas_call fails under jax_enable_x64).
+    if st.r.dtype != jnp.float32 or jax.config.jax_enable_x64:
+        return _rebin_global(st, geom)
+    interp = _pallas_interpret()
+    return jax.lax.cond(
+        far_mover_count(st, geom) == 0,
+        lambda s: rebin_neighbor(s, geom, interpret=interp),
+        lambda s: _rebin_global(s, geom),
+        st,
+    )
+
+
 def _rebin_core(st: BinnedState, geom: Geometry):
     """Per-step migration with the strategy picked by ``XPIC_REBIN``."""
+    if _REBIN_MODE == "neighbor":
+        return _rebin_neighbor_guarded(st, geom)
     if _REBIN_MODE == "global":
         return _rebin_global(st, geom)
     if _REBIN_MODE == "incremental":

@@ -2,17 +2,28 @@
 
 The reference's only distribution strategy is 3-D spatial domain
 decomposition over MPI ranks with halo exchange (src/utils/world.cpp:36-46,
-SURVEY 2.7).  The TPU-native equivalent: a GSPMD mesh with the grid
-sharded along z (optionally z and y), and particle arrays sharded along
-their flat axis.  All kernels in this package are written in global
-semantics (rolls + dense per-cell ops), so XLA inserts the halo
+SURVEY 2.7), with per-axis processor counts selectable on the command
+line (``-da_processors_{x,y,z}``, src/utils/configuration.cpp:117-130).
+The TPU-native equivalent: a GSPMD mesh with the grid sharded along z
+(1-D) or along z and y (2-D), and particle arrays sharded along their
+flat axis.  All kernels in this package are written in global semantics
+(rolls + dense per-cell ops), so XLA inserts the halo
 collective-permutes and the segment reductions become psums — the same
 code runs on 1 chip or a pod slice.
+
+Mesh shapes come from the ``"Mesh"`` config key: an integer N is a 1-D
+z mesh over N devices; a mapping ``{"z": 4, "y": 2}`` is the
+per-axis-processor-count analog.
 
 Because the particle arrays are kept *cell-sorted* and the flat cell
 index is z-major, sharding particles equally along their flat axis is
 approximately aligned with the z-sharded grid — most gather/deposit
 traffic stays chip-local, with XLA moving only the misaligned tail.
+Under a 2-D mesh the flat cell axis is sharded over both mesh axes
+(``P(("z", "y"))``): contiguous flat blocks still align with the grid's
+z-blocks whenever nz/Dz is divisible by Dy; the y-halo traffic is the
+price of the extra decomposition axis, exactly as in the reference's
+2-D DMDA splits.
 """
 
 from __future__ import annotations
@@ -22,31 +33,65 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+def make_mesh(shape: int | tuple[int, ...] | None = None,
+              devices=None) -> Mesh:
+    """Build the device mesh.
+
+    ``shape`` is either a device count (1-D ``("z",)`` mesh) or a tuple
+    ``(Dz, Dy)`` (2-D ``("z", "y")`` mesh — the analog of
+    ``-da_processors_z/y``, src/utils/configuration.cpp:117-130).
+    """
+    if isinstance(shape, tuple) and len(shape) == 1:
+        shape = shape[0]
     if devices is None:
         devices = jax.devices()
-        if n_devices is not None:
-            devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), axis_names=("z",))
+    if isinstance(shape, tuple):
+        dz, dy = shape
+        n = dz * dy
+        if len(devices) < n:
+            raise RuntimeError(
+                f"mesh shape {shape} needs {n} devices, "
+                f"only {len(devices)} available"
+            )
+        return Mesh(
+            np.asarray(devices[:n]).reshape(dz, dy), axis_names=("z", "y")
+        )
+    n = len(devices) if shape is None else shape
+    return Mesh(np.asarray(devices[:n]), axis_names=("z",))
+
+
+def _cell_axes(mesh: Mesh):
+    """Spec entry for the flat (z-major) cell axis."""
+    return tuple(mesh.axis_names) if len(mesh.axis_names) > 1 else "z"
 
 
 def field_sharding(mesh: Mesh) -> NamedSharding:
-    """[3, nz, ny, nx] fields: shard the z axis."""
+    """[3, nz, ny, nx] fields: shard z (and y on a 2-D mesh)."""
+    if "y" in mesh.axis_names:
+        return NamedSharding(mesh, P(None, "z", "y", None))
     return NamedSharding(mesh, P(None, "z", None, None))
 
 
 def scalar_field_sharding(mesh: Mesh) -> NamedSharding:
+    if "y" in mesh.axis_names:
+        return NamedSharding(mesh, P("z", "y", None))
     return NamedSharding(mesh, P("z", None, None))
 
 
 def particle_sharding(mesh: Mesh) -> NamedSharding:
     """[N, 3] / [N] particle arrays: shard the particle axis."""
-    return NamedSharding(mesh, P("z"))
+    return NamedSharding(mesh, P(_cell_axes(mesh)))
 
 
 def cellblock_sharding(mesh: Mesh) -> NamedSharding:
     """[G, ...] per-cell arrays (flat cell axis is z-major)."""
-    return NamedSharding(mesh, P("z"))
+    return NamedSharding(mesh, P(_cell_axes(mesh)))
+
+
+def state_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """BinnedState leaves: [G, K] (ndim=2) or [G, K, 3] (ndim=3)."""
+    spec = (_cell_axes(mesh),) + (None,) * (ndim - 1)
+    return NamedSharding(mesh, P(*spec))
 
 
 def shard_fields(mesh: Mesh, *fields):

@@ -106,10 +106,10 @@ class Species:
     def _shard_state(self, st: BinnedState) -> BinnedState:
         if self.mesh is None:
             return st
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import state_sharding
 
-        s2 = NamedSharding(self.mesh, P("z", None))
-        s3 = NamedSharding(self.mesh, P("z", None, None))
+        s2 = state_sharding(self.mesh, 2)
+        s3 = state_sharding(self.mesh, 3)
         return BinnedState(
             r=jax.device_put(st.r, s3),
             p=jax.device_put(st.p, s3),
@@ -191,7 +191,7 @@ class Simulation:
                     "XPIC_FORCE_PALLAS is incompatible with a multi-device "
                     "mesh; unset it for sharded runs"
                 )
-            self.mesh = pm.make_mesh(cfg.n_devices)
+            self.mesh = pm.make_mesh(cfg.mesh_shape)
 
         g = self.geom
         shape = (3, g.nz, g.ny, g.nx)

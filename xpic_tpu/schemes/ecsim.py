@@ -69,9 +69,11 @@ def _advance_fields(E, B, B0, currI, L, geom: Geometry, maxit: int = MAXIT):
     """rhs = 2 E - dt currI + dt curl-(B - B0); solve matA Ep = rhs
     (ecsim/simulation.cpp:191-278).
 
-    Left-preconditioned by the exact spectral inverse of
-    matM + mean(diag matL) I (solvers/spectral.py) — the TPU-native
-    replacement for PETSc's algebraic preconditioners.
+    Left-preconditioned by a degree-12 Chebyshev approximation of
+    (matM + mean(diag matL) I)^{-1} (solvers/spectral.py) — the
+    TPU-native replacement for PETSc's algebraic preconditioners.
+    Measured steady state at the golden config: ~7 GMRES iterations
+    per step (see the KSP history assertions in tests/test_golden.py).
     """
     tol = 1e-5 if E.dtype == jnp.float32 else ATOL
     sol = advance_phase(E, B, B0, currI, L, geom, tol=tol, maxit=maxit)

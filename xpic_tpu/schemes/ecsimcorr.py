@@ -115,8 +115,9 @@ def _correct_fields(E, B, B0, currJe, geom: Geometry):
 
     P = make_matM_preconditioner(geom, geom.dt, dtype=E.dtype)
     M_inv = (lambda v: P(v, 0.0)) if P is not None else None
-    # With the exact spectral inverse this converges in one iteration;
-    # CG still verifies the true-residual tolerance.
+    # The Chebyshev(12) preconditioner (solvers/spectral.py) collapses
+    # the curl-curl spread; CG converges in a handful of iterations and
+    # verifies the true-residual tolerance.
     res = cg(matM, rhs, x0=E, rtol=RTOL, atol=ATOL, maxit=MAXIT, M_inv=M_inv)
     return res.x, res.iterations, res.residual_norm, res.converged
 

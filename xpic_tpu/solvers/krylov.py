@@ -42,7 +42,8 @@ def cg(matvec: Callable, b, x0=None, *, rtol: float = 1e-7,
 
     Used for the ecsimcorr ``correct`` solve on the constant SPD matrix
     matM = 2I + 0.5 dt^2 rotB rotE (src/impls/ecsimcorr/simulation.cpp:118-133),
-    with the exact spectral inverse of matM available as ``M_inv``.
+    with a Chebyshev polynomial approximation of matM^{-1} as ``M_inv``
+    (solvers/spectral.py).
     Convergence is tested on the true residual 2-norm.
     """
     x0 = jnp.zeros_like(b) if x0 is None else x0
