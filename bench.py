@@ -91,11 +91,74 @@ def main() -> None:
     elapsed = best / reps
 
     throughput = n / elapsed
+
+    # -- north-star side metrics (BASELINE.json: SpMV nnz/s/chip and
+    # KSP iters/s on the ECSIM mass matrix) ---------------------------
+    # Time the field-advance phase alone on a representative mass
+    # matrix: one fill at the bench state supplies (currI, L), then the
+    # preconditioned GMRES solve is timed in isolation.
+    from xpic_tpu.ops.binning import bin_state, drift_state, rebin
+    from xpic_tpu.ops.gather_scatter import cell_t
+    from xpic_tpu.parallel.step import advance_phase, fill_phase
+
+    st = rebin(drift_state(bin_state(sp1, geom, slots), geom), geom)
+    t_cell = cell_t(geom, st.r)
+    currI, L, _, _ = fill_phase(B1, st, t_cell, geom, q=-1.0, m=1.0,
+                                mpw=1.0 / ppc)
+
+    tol = 1e-5 if E1.dtype == jnp.float32 else 1e-7
+    adv = jax.jit(lambda E, B, currI, L: advance_phase(
+        E1, B, B0, currI, L, geom, tol=tol, maxit=100))
+    sol = adv(E1, B1, currI, L)
+    iters = int(sol.iterations)
+    _ = float(jnp.sum(sol.x))
+    t0 = time.perf_counter()
+    solve_reps = 5
+    for _i in range(solve_reps):
+        sol = adv(E1, B1, currI, L)
+        _ = float(jnp.sum(sol.x))
+    solve_s = (time.perf_counter() - t0) / solve_reps
+
+    G = geom.n_cells
+    # Effective nnz per preconditioned GMRES iteration: the matA apply
+    # (1296 G block entries + the curl-curl's 24 G stencil entries) plus
+    # the Chebyshev(12) preconditioner (12 curl-curl applies, 24 G each).
+    nnz_per_iter = (1296 + 24) * G + 12 * 24 * G
+    ksp_iters_per_s = iters / solve_s
+    spmv_nnz_per_s = nnz_per_iter * iters / solve_s
+
+    # Roofline model: dominant HBM bytes per fused ECSIM step (payload
+    # migration traffic + fill inputs + L write/reads + solve streams),
+    # kept in sync with BENCH_NOTES.md.
+    K = slots
+    NK = G * K
+    itemsize = np.dtype(str(E1.dtype)).itemsize
+    bytes_L = G * 1296 * itemsize
+    bytes_step = (
+        NK * 8 * itemsize * 8          # migration payload touches (~8x)
+        + NK * 3 * itemsize * 6        # fill inputs (t, p, B_p) x r/w
+        + bytes_L * (2 + iters)        # L write + per-iteration reads
+        + G * 3 * itemsize * 40        # field/stencil streams
+    )
+    hbm_gbps = bytes_step / elapsed / 1e9
+
     print(json.dumps({
         "metric": "ecsim_particle_push_throughput",
         "value": throughput,
         "unit": "particle-steps/s/chip",
         "vs_baseline": throughput / BASELINE_PARTICLES_PER_S,
+        "extras": {
+            "dtype": str(E1.dtype),
+            "step_ms": elapsed * 1e3,
+            "ksp_iters_per_step": iters,
+            "ksp_iters_per_s": ksp_iters_per_s,
+            "spmv_effective_nnz_per_s": spmv_nnz_per_s,
+            "advance_ms_per_solve": solve_s * 1e3,
+            "model_hbm_bytes_per_step": bytes_step,
+            "model_hbm_gbps_effective": hbm_gbps,
+            "hbm_roof_gbps": 819.0,  # v5e
+            "hbm_roof_fraction": hbm_gbps / 819.0,
+        },
     }))
 
 

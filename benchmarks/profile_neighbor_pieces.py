@@ -1,4 +1,5 @@
-"""Per-piece timing of the neighbor rebin at the bench shape."""
+"""Per-piece timing of the neighbor rebin (v3: in-kernel masks,
+VPU-unrolled compaction, dense-lane mover buffers)."""
 import json, os, time
 os.environ["XPIC_X64"] = "0"
 import jax
@@ -22,6 +23,8 @@ sp = ParticleArrays(
 st = B._drift_impl(B.bin_state(sp, geom, 80), geom)
 G, K = st.valid.shape
 f32 = jnp.float32
+A = NR._mover_cols(K)
+Kw = K + A
 
 def fence(out):
     for leaf in jax.tree_util.tree_leaves(out):
@@ -36,35 +39,33 @@ def timeit(f, *args, reps=10):
     fence(out)
     return (time.perf_counter() - t0) / reps * 1e3, out
 
-res = {}
+res = {"Kw": Kw, "A": A}
 
 @jax.jit
 def build_payload(st):
-    pad = max(8, (K // 8 + 7) // 8 * 8)
+    vf = st.valid.astype(f32)[:, None, :]
     P = jnp.concatenate(
-        [jnp.swapaxes(st.r, 1, 2), jnp.swapaxes(st.p, 1, 2),
-         st.valid.astype(f32)[:, None, :],
-         jnp.zeros((G, 1, K), f32)], axis=1)
-    return jnp.concatenate([P, jnp.zeros((G, 8, pad), f32)], axis=2)
+        [jnp.swapaxes(st.r, 1, 2) * vf, jnp.swapaxes(st.p, 1, 2) * vf,
+         vf, jnp.zeros((G, 1, K), f32)], axis=1)
+    return jnp.concatenate([P, jnp.zeros((G, 8, A), f32)], axis=2)
 
 res["payload_build_ms"], P = timeit(build_payload, st)
-Kw = P.shape[2]
+
+extract = jax.jit(lambda P: NR._extract_pass(
+    P, axis_ch=0, stride_cells=1, n_ax=geom.nx))
+res["extract_ms"], (P2, up, dn) = timeit(extract, P)
 
 @jax.jit
-def masks_and_rolls(P):
-    stay, plus, minus = NR._axis_masks(P, geom, 0)
-    up = NR._roll_cells(P, geom, 2, +1)
-    dn = NR._roll_cells(P, geom, 2, -1)
-    m_up = NR._roll_cells(plus, geom, 2, +1)
-    m_dn = NR._roll_cells(minus, geom, 2, -1)
-    return up, dn, stay, m_up, m_dn
+def rolls(up, dn):
+    return (NR._roll_cells(up, geom, 2, +1), NR._roll_cells(dn, geom, 2, -1))
 
-res["masks_rolls_ms"], (up, dn, stay, m_up, m_dn) = timeit(masks_and_rolls, P)
+res["rolls_ms"], (upr, dnr) = timeit(rolls, up, dn)
 
-merge = jax.jit(lambda *a: NR._merge_pass(*a))
-res["merge_pass_ms"], _ = timeit(merge, P, up, dn, stay, m_up, m_dn)
+place = jax.jit(lambda *a: NR._place_pass(*a))
+res["place_ms"], _ = timeit(place, P2, upr, dnr)
 
-res["far_ms"], _ = timeit(jax.jit(lambda s: NR.far_mover_count(s, geom)), st)
-res["full_neighbor_ms"], _ = timeit(jax.jit(lambda s: NR.rebin_neighbor(s, geom)), st)
-res["Kw"] = Kw
+res["full_neighbor_ms"], _ = timeit(
+    jax.jit(lambda s: NR.rebin_neighbor(s, geom)), st)
+res["global_ms"], _ = timeit(
+    jax.jit(lambda s: B._rebin_global(s, geom)), st)
 print(json.dumps(res))

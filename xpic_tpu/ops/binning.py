@@ -254,12 +254,14 @@ def _rebin_global(st: BinnedState, geom: Geometry):
 # Migration strategy (resolved at import per the jit-cache rule —
 # trace-time env reads are invisible to the cache key):
 #   neighbor    dimension-split neighbor exchange (ops/neighbor_rebin):
-#               3 axis passes of rolls + an in-VMEM rank/one-hot-matmul
-#               compaction kernel; falls back to the global sort in-graph
+#               3 axis passes of extract-kernel + mover-buffer rolls +
+#               place-kernel; falls back to the global sort in-graph
 #               (lax.cond) when any particle moved more than one cell
-#               along an axis.  f32 only (the f64 parity path keeps the
-#               global sort).
-#   global      the [G*K] payload sort above (default)
+#               along an axis.  f32 speed path only (the f64 parity
+#               path and x64 mode keep the global sort).  Default:
+#               measured 26.5 ms vs the global sort's 38.7 ms at the
+#               32^3 x 50ppc bench shape on v5e.
+#   global      the [G*K] payload sort above
 #   auto        mover extraction, with an in-graph lax.cond fallback to
 #               the global sort when the mover buffer would overflow
 #   incremental mover extraction only (overflow counts as dropped)
@@ -271,7 +273,7 @@ def _rebin_global(st: BinnedState, geom: Geometry):
 # more in data movement than the variadic sort saves in passes.  The
 # incremental path stays as an opt-in for backends with cheaper
 # gathers.
-_REBIN_MODE = os.environ.get("XPIC_REBIN", "global")
+_REBIN_MODE = os.environ.get("XPIC_REBIN", "neighbor")
 # Static caps of the incremental path.  The mover buffer holds up to
 # NK/_MOVER_DIV slots; at most _A_MAX arrivals land per cell per step
 # (Poisson tails at ~100 ppc need ~K/4; overflow is a counted drop,
@@ -409,8 +411,12 @@ def _rebin_neighbor_guarded(st: BinnedState, geom: Geometry):
 
     # f32 data AND x64 mode off: Mosaic on the current TPU toolchain
     # cannot legalize kernels traced with 64-bit index types (measured:
-    # even a trivial pallas_call fails under jax_enable_x64).
-    if st.r.dtype != jnp.float32 or jax.config.jax_enable_x64:
+    # even a trivial pallas_call fails under jax_enable_x64).  Single
+    # device only for now: pl.pallas_call has no SPMD partitioning rule,
+    # so mesh-sharded inputs must keep the global sort until the
+    # shard_map wrapper lands.
+    if (st.r.dtype != jnp.float32 or jax.config.jax_enable_x64
+            or len(jax.devices()) > 1):
         return _rebin_global(st, geom)
     interp = _pallas_interpret()
     return jax.lax.cond(

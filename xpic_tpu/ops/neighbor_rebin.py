@@ -13,27 +13,37 @@ at the 32^3 x 50ppc bench shape on v5e, 46% of the whole ECSIM step.
 This module does the TPU-native analog of the reference's neighbor
 exchange with *dimension splitting*: three axis passes (x, y, z), each
 
-1. classifying every slot as stay / +1 / -1 along that axis (XLA,
-   elementwise on [G, K]),
-2. rolling the payload by +-1 cell along the axis (under GSPMD these
-   rolls are the halo collective-permutes — the particle exchange rides
-   ICI exactly like the reference's 26-neighbor Isend/Irecv),
-3. compacting [own stayers | arrivals from below | arrivals from above]
-   into the K slots of each cell with a Pallas kernel: per-group ranks
-   are one [K, K] triangular matmul each, the placement is a one-hot
-   [K_src, K_dst] built in VMEM, and the merge is a batched
-   [8, K_src] x [K_src, K_dst] MXU matmul — no scatters, no sorts, no
-   HBM-materialized permutation matrices.
+1. **extract** (Pallas): classify every slot as stay / +1 / -1 along
+   the axis (home coordinates derived from the grid program id — no
+   XLA-side mask materialization), compact each cell's movers into a
+   small [G, 8, A] buffer (A ~ 16 columns) and clear them from the
+   resident rows.  Group ranks come from one [K, K] triangular matmul;
+   the compaction itself is an A-term unrolled select-accumulate on the
+   VPU — batched per-cell matmuls are catastrophically slow on the MXU
+   (measured 10.5 ms/axis for [8, K] x [K, A] per cell at the bench
+   shape), the unrolled form is pure vector work.
+2. **roll**: move only the mover buffers by +-1 cell along the axis,
+   viewed as [G, 8A] so the lane dimension is exactly 128 (an [G, 8, A]
+   roll pays an 8x lane-padding tax).  Under GSPMD these rolls are the
+   halo collective-permutes — the particle exchange rides ICI exactly
+   like the reference's 26-neighbor Isend/Irecv, at mover-buffer size.
+3. **place** (Pallas): insert the up-to-2A arrivals into each
+   destination row's free slots (holes left by leavers and dead
+   padding, filled front-first), again A-term unrolled.
+
+Payload-carrying contractions avoid the MXU's default single-pass bf16
+(it truncates particle coordinates); the rank matmuls run at
+``Precision.HIGHEST`` (exact for small integers).
 
 Diagonal movers migrate one axis per pass (the standard dimensional
 split).  Anything faster than one cell per axis per step falls back to
 the global sort via ``lax.cond`` (the caller counts such "far movers"
-first); capacity overflow surfaces as ``dropped`` in the load vector,
+first); capacity overflow (more movers per row/direction than A, or a
+full destination row) surfaces as ``dropped`` in the load vector,
 which the schemes already treat as a hard error.
 
-Determinism: within a destination cell, the new slot order is
-[stayers by old slot | +arrivals by source slot | -arrivals by source
-slot] — a pure function of the pre-pass state, independent of the
+Determinism: arrivals fill free slots in (direction, source-slot)
+order — a pure function of the pre-pass state, independent of the
 device mesh.
 """
 
@@ -49,6 +59,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import Geometry
 from .binning import BinnedState, _cell_centers
 
+HIGH = jax.lax.Precision.HIGHEST
+
 
 def _pick_block(G: int, want: int = 64) -> int:
     bg = min(want, G)
@@ -61,87 +73,174 @@ def _pick_block(G: int, want: int = 64) -> int:
     return 1
 
 
-def _merge_kernel(own_ref, up_ref, dn_ref, m0_ref, m1_ref, m2_ref, out_ref):
-    """Compact [stayers | up-arrivals | dn-arrivals] into K dst slots.
+def _mover_cols(K: int) -> int:
+    """Mover-buffer columns per direction (A).  Thermal CFL-guarded runs
+    move only a few percent of a cell's slots per axis per direction;
+    16 columns is ~4x the Poisson tail at 100 ppc."""
+    return max(16, -(-K // 8) // 8 * 8)
 
-    Payload blocks are [bg, 8, K] (channels: rx, ry, rz, px, py, pz,
-    valid, 0); mask blocks [bg, K] f32.  All rank/one-hot work stays in
-    VMEM; the three merges are MXU batched matmuls.
-    """
-    bg, C, K = own_ref.shape
-    f32 = jnp.float32
 
-    # T[j, s] = 1 if j < s: exclusive prefix count by matmul.
-    # (Mosaic iota is integer-only; compare in int32, compute in f32.)
+def _rank_matrix(K: int, dtype):
+    """T[j, s] = 1 if j < s (exclusive prefix count by matmul —
+    Mosaic iota is integer-only, so compare in int32)."""
     row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-    T = (row < col).astype(f32)
+    return (row < col).astype(dtype)
 
-    m0 = m0_ref[:]
-    m1 = m1_ref[:]
-    m2 = m2_ref[:]
 
-    def rank(m):
-        return jax.lax.dot_general(
-            m, T, (((1,), (0,)), ((), ())), preferred_element_type=f32
+def _rank(m):
+    """Exclusive within-group prefix count along lanes, [bg, K] f32."""
+    T = _rank_matrix(m.shape[1], m.dtype)
+    return jax.lax.dot_general(m, T, (((1,), (0,)), ((), ())),
+                               preferred_element_type=m.dtype,
+                               precision=HIGH)
+
+
+def _extract_kernel(P_ref, out_ref, up_ref, dn_ref, *, bg, stride):
+    """Classify + clear movers + compact them into direction buffers.
+
+    P [bg, 8, K] payload (channels rx, ry, rz, px, py, pz, valid, 0);
+    the pass axis is identified by ``stride`` (cells per +1 step of the
+    home coordinate) and ``n`` (axis extent); the position channel index
+    equals the axis id, passed via ``stride``/``n`` closure parameters.
+    """
+    axis_ch, stride_cells, n_ax = stride
+    del stride
+    K = P_ref.shape[2]
+    A = up_ref.shape[1]  # buffers are [bg, A, C]
+    f32 = jnp.float32
+
+    P = P_ref[:]
+    # home coordinate of each row along the pass axis
+    g0 = pl.program_id(0) * bg
+    gids = g0 + jax.lax.broadcasted_iota(jnp.int32, (bg, 1), 0)
+    home = (gids // stride_cells) % n_ax                    # [bg, 1]
+
+    valid = P[:, 6, :] > 0.5
+    c = jnp.clip(P[:, axis_ch, :].astype(jnp.int32), 0, n_ax - 1)
+    # floor for non-negative positions == int cast (positions >= 0).
+    plus = valid & (c == jnp.where(home + 1 == n_ax, 0, home + 1))
+    if n_ax == 2:
+        minus = jnp.zeros_like(plus)
+    else:
+        minus = valid & (c == jnp.where(home == 0, n_ax - 1, home - 1))
+    mp = plus.astype(f32)
+    mm = minus.astype(f32)
+
+    def compact(m, buf_ref):
+        rank = _rank(m)                                     # [bg, K]
+        cols = []
+        for j in range(A):
+            sel = m * (rank == float(j))                    # [bg, K]
+            # One mover at most matches; masked lane-reduce extracts it.
+            cols.append(jnp.sum(P * sel[:, None, :], axis=2))  # [bg, C]
+        buf_ref[:] = jnp.stack(cols, axis=1)                # [bg, A, C]
+
+    compact(mp, up_ref)
+    compact(mm, dn_ref)
+    out_ref[:] = P * (1.0 - mp - mm)[:, None, :]
+
+
+def _place_kernel(P_ref, up_ref, dn_ref, out_ref):
+    """Insert the rolled arrival buffers into each row's free slots.
+
+    Free slots (ch6 == 0) are filled front-first: up-arrivals in source
+    order, then dn-arrivals.  Arrivals beyond the free count vanish
+    (counted as dropped by the caller).
+    """
+    bg, C, K = P_ref.shape
+    A = up_ref.shape[1]  # buffers are [bg, A, C]
+    f32 = jnp.float32
+
+    P = P_ref[:]
+    up = up_ref[:]
+    dn = dn_ref[:]
+
+    free = 1.0 - P[:, 6, :]                       # [bg, K]
+    frank = _rank(free)                           # [bg, K]
+    a_up = jnp.sum(up[:, :, 6], axis=1, keepdims=True)  # [bg, 1]
+
+    out = P
+    for j in range(A):
+        ind_u = free * (frank == float(j))                  # [bg, K]
+        ind_d = free * (frank == (a_up + float(j)))
+        out = (
+            out
+            + up[:, j, :][:, :, None] * ind_u[:, None, :]
+            + dn[:, j, :][:, :, None] * ind_d[:, None, :]
         )
-
-    s_own = jnp.sum(m0, axis=1, keepdims=True)   # [bg, 1]
-    p_up = jnp.sum(m1, axis=1, keepdims=True)
-
-    dst0 = rank(m0)
-    dst1 = rank(m1) + s_own
-    dst2 = rank(m2) + s_own + p_up
-
-    dcol = jax.lax.broadcasted_iota(jnp.int32, (bg, K, K), 2).astype(f32)
-
-    def merge(P_ref, m, dst):
-        oh = m[:, :, None] * (dst[:, :, None] == dcol).astype(f32)
-        return jax.lax.dot_general(
-            P_ref[:], oh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32,
-        )
-
-    out_ref[:] = (
-        merge(own_ref, m0, dst0)
-        + merge(up_ref, m1, dst1)
-        + merge(dn_ref, m2, dst2)
-    )
+    out_ref[:] = out
 
 
-@functools.partial(jax.jit, static_argnames=("block_g", "interpret"))
-def _merge_pass(own, up, dn, m0, m1, m2, *, block_g: int = 64,
-                interpret: bool = False):
-    G, C, K = own.shape
+@functools.partial(jax.jit,
+                   static_argnames=("axis_ch", "stride_cells", "n_ax",
+                                    "block_g", "interpret"))
+def _extract_pass(P, *, axis_ch: int, stride_cells: int, n_ax: int,
+                  block_g: int = 64, interpret: bool = False):
+    G, C, K = P.shape
+    A = _mover_cols(K)
     bg = _pick_block(G, block_g)
     grid = (G // bg,)
     pspec = pl.BlockSpec((bg, C, K), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((bg, K), lambda i: (i, 0),
+    aspec = pl.BlockSpec((bg, A, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _extract_kernel, bg=bg, stride=(axis_ch, stride_cells, n_ax)
+    )
     return pl.pallas_call(
-        _merge_kernel,
+        kernel,
         grid=grid,
-        in_specs=[pspec, pspec, pspec, mspec, mspec, mspec],
-        out_specs=pspec,
-        out_shape=jax.ShapeDtypeStruct((G, C, K), jnp.float32),
+        in_specs=[pspec],
+        out_specs=(pspec, aspec, aspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, C, K), jnp.float32),
+            jax.ShapeDtypeStruct((G, A, C), jnp.float32),
+            jax.ShapeDtypeStruct((G, A, C), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * G * K * K * (C + 4) * 3,
-            bytes_accessed=(3 * (C + 1) + C) * G * K * 4,
+            flops=2 * G * K * (K + 2 * A * C),
+            bytes_accessed=2 * G * K * C * 4 + 2 * G * A * C * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(own, up, dn, m0, m1, m2)
+    )(P)
 
 
-# Axis metadata: (payload channel, spatial axis in the [nz, ny, nx]
-# grid view, extent accessor).  Flat cell ids are x-major:
-# g = (cz * ny + cy) * nx + cx.
-_AXES = (
-    (0, 2, lambda g: g.nx),  # x
-    (1, 1, lambda g: g.ny),  # y
-    (2, 0, lambda g: g.nz),  # z
-)
+@functools.partial(jax.jit, static_argnames=("block_g", "interpret"))
+def _place_pass(P, up, dn, *, block_g: int = 64, interpret: bool = False):
+    G, C, K = P.shape
+    A = up.shape[1]
+    bg = _pick_block(G, block_g)
+    grid = (G // bg,)
+    pspec = pl.BlockSpec((bg, C, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((bg, A, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _place_kernel,
+        grid=grid,
+        in_specs=[pspec, aspec, aspec],
+        out_specs=pspec,
+        out_shape=jax.ShapeDtypeStruct((G, C, K), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * G * K * (K + 2 * A * C),
+            bytes_accessed=2 * G * K * C * 4 + 2 * G * A * C * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(P, up, dn)
+
+
+# Axis metadata: (payload channel == axis id, spatial axis in the
+# [nz, ny, nx] grid view, extent accessor, home-coordinate stride in
+# flat cells).  Flat cell ids are x-major: g = (cz * ny + cy) * nx + cx.
+def _axes(geom: Geometry):
+    return (
+        (0, 2, geom.nx, 1),
+        (1, 1, geom.ny, geom.nx),
+        (2, 0, geom.nz, geom.nx * geom.ny),
+    )
 
 
 def _home_coord(geom: Geometry, axis: int) -> jnp.ndarray:
@@ -153,37 +252,21 @@ def _home_coord(geom: Geometry, axis: int) -> jnp.ndarray:
     return g // (geom.nx * geom.ny)
 
 
-def _axis_masks(P, geom: Geometry, axis: int):
-    """(stay, plus, minus) masks [G, K] along one axis, f32."""
-    n = (geom.nx, geom.ny, geom.nz)[axis]
-    valid = P[:, 6, :] > 0.5
-    c = jnp.clip(jnp.floor(P[:, axis, :]).astype(jnp.int32), 0, n - 1)
-    home = _home_coord(geom, axis)[:, None]
-    stay = valid & (c == home)
-    plus = valid & (c == (home + 1) % n)
-    if n == 2:
-        # +1 and -1 coincide; count every mover once as a plus-mover.
-        minus = jnp.zeros_like(plus)
-    else:
-        minus = valid & (c == (home - 1) % n)
-    f32 = P.dtype
-    return stay.astype(f32), plus.astype(f32), minus.astype(f32)
-
-
-def _roll_cells(A, geom: Geometry, grid_axis: int, shift: int):
-    """Roll a [G, ...] per-cell array by ``shift`` cells along one
-    spatial axis of the [nz, ny, nx] cell grid."""
-    tail = A.shape[1:]
-    V = A.reshape((geom.nz, geom.ny, geom.nx) + tail)
-    return jnp.roll(V, shift, axis=grid_axis).reshape((geom.n_cells,) + tail)
+def _roll_cells(Abuf, geom: Geometry, grid_axis: int, shift: int):
+    """Roll a [G, A, C] mover buffer by ``shift`` cells along one
+    spatial axis of the [nz, ny, nx] cell grid.  The buffer is viewed
+    as [..., A*C] so the rolled lane dimension is dense (A*C = 128 for
+    the default 16 columns x 8 channels)."""
+    G, A, C = Abuf.shape
+    V = Abuf.reshape(geom.nz, geom.ny, geom.nx, A * C)
+    return jnp.roll(V, shift, axis=grid_axis).reshape(G, A, C)
 
 
 def far_mover_count(st: BinnedState, geom: Geometry) -> jnp.ndarray:
     """Number of live slots whose move exceeds one cell along any axis
     (these need the global-sort migration path)."""
     total = jnp.zeros((), jnp.int32)
-    for axis, _, ext in _AXES:
-        n = ext(geom)
+    for axis, _, n, _s in _axes(geom):
         if n == 1:
             continue
         c = jnp.clip(jnp.floor(st.r[..., axis]).astype(jnp.int32), 0, n - 1)
@@ -206,7 +289,6 @@ def rebin_neighbor(st: BinnedState, geom: Geometry, *,
     """
     G, K = st.valid.shape
     f32 = st.r.dtype
-    valid0 = st.valid
 
     # moved (exchange statistic): slots whose flat cell id changed.
     from .binning import state_cell_ids
@@ -216,49 +298,63 @@ def rebin_neighbor(st: BinnedState, geom: Geometry, *,
     moved = jnp.sum(st.valid & (ids != home_flat)).astype(jnp.int32)
     n_before = jnp.sum(st.valid).astype(jnp.int32)
 
-    # payload [G, 8, K + pad]: rx, ry, rz, px, py, pz, valid, 0.  The
-    # axis passes run at a padded width: a cell may transiently hold
-    # more than its final count after the x or y pass (arrivals pile up
-    # before the later passes spread them), so the intermediate capacity
-    # gets headroom that the truncation at the end removes again.
-    pad = max(8, (K // 8 + 7) // 8 * 8)
-    Kw = K + pad
+    # payload [G, 8, K + A]: rx, ry, rz, px, py, pz, valid, 0.  The A
+    # pad columns give transient headroom: a cell may briefly exceed its
+    # final count after the x or y pass (arrivals land before the later
+    # passes move them on).  Free slots fill front-first, so the pad is
+    # touched only on transient overflow; the fixup below re-places any
+    # pad occupants into the first K columns.  Invalid slots are parked
+    # at cell centers in BinnedState; the place kernel ADDS arrivals
+    # onto free slots, so their payload must be zero here (re-parked
+    # after the passes).
+    A = _mover_cols(K)
+    vf = st.valid.astype(f32)[:, None, :]
     P = jnp.concatenate(
         [
-            jnp.swapaxes(st.r, 1, 2),
-            jnp.swapaxes(st.p, 1, 2),
-            st.valid.astype(f32)[:, None, :],
+            jnp.swapaxes(st.r, 1, 2) * vf,
+            jnp.swapaxes(st.p, 1, 2) * vf,
+            vf,
             jnp.zeros((G, 1, K), f32),
         ],
         axis=1,
     )
-    P = jnp.concatenate([P, jnp.zeros((G, 8, pad), f32)], axis=2)
+    P = jnp.concatenate([P, jnp.zeros((G, 8, A), f32)], axis=2)
 
-    for axis, grid_axis, ext in _AXES:
-        if ext(geom) == 1:
+    for axis_ch, grid_axis, n_ax, stride in _axes(geom):
+        if n_ax == 1:
             continue
-        stay, plus, minus = _axis_masks(P, geom, axis)
-        up = _roll_cells(P, geom, grid_axis, +1)
-        dn = _roll_cells(P, geom, grid_axis, -1)
-        m_up = _roll_cells(plus, geom, grid_axis, +1)
-        m_dn = _roll_cells(minus, geom, grid_axis, -1)
-        P = _merge_pass(P, up, dn, stay, m_up, m_dn, interpret=interpret)
+        P, up, dn = _extract_pass(
+            P, axis_ch=axis_ch, stride_cells=stride, n_ax=n_ax,
+            interpret=interpret,
+        )
+        up = _roll_cells(up, geom, grid_axis, +1)
+        dn = _roll_cells(dn, geom, grid_axis, -1)
+        P = _place_pass(P, up, dn, interpret=interpret)
 
-    # Rows come out front-compacted, so truncating the pad columns keeps
-    # exactly min(count, K) live slots per cell; anything beyond K is a
-    # capacity overflow, counted as dropped (the schemes raise on it).
-    valid_w = P[:, 6, :] > 0.5
-    counts_w = jnp.sum(valid_w, axis=1).astype(jnp.int32)
+    # Fixup: pad-column occupants (transient overflow survivors) move
+    # into free slots of the first K columns; if none are free the row
+    # is genuinely over capacity and they count as dropped.
+    pad_buf = jnp.swapaxes(P[:, :, K:], 1, 2)  # [G, A, C]
+    pad_occupancy = jnp.sum(pad_buf[:, :, 6]).astype(jnp.int32)
+    P = jax.lax.cond(
+        pad_occupancy > 0,
+        lambda args: _place_pass(args[0], args[1],
+                                 jnp.zeros_like(args[1]),
+                                 interpret=interpret),
+        lambda args: args[0],
+        (P[:, :, :K], pad_buf),
+    )
 
-    valid = valid_w[:, :K]
+    valid = P[:, 6, :] > 0.5
     center = _cell_centers(geom, f32)
-    r = jnp.swapaxes(P[:, 0:3, :K], 1, 2)
-    p = jnp.swapaxes(P[:, 3:6, :K], 1, 2)
+    r = jnp.swapaxes(P[:, 0:3, :], 1, 2)
+    p = jnp.swapaxes(P[:, 3:6, :], 1, 2)
     r = jnp.where(valid[..., None], r, center)
     p = jnp.where(valid[..., None], p, 0.0)
 
-    n_after = jnp.sum(jnp.minimum(counts_w, K)).astype(jnp.int32)
+    counts = jnp.sum(valid, axis=1).astype(jnp.int32)
+    n_after = jnp.sum(counts).astype(jnp.int32)
     load = jnp.stack(
-        [jnp.max(counts_w), n_before - n_after, moved]
+        [jnp.max(counts), n_before - n_after, moved]
     ).astype(jnp.int32)
     return BinnedState(r=r, p=p, valid=valid), load

@@ -246,14 +246,45 @@ class EccapfimSimulation(Simulation):
         )
         return F
 
+    def _preconditioned_residual(self):
+        """M^{-1} F with M = I + dt^2/4 curl- curl+ — the stiff linear
+        part of F.  The raw fixed point x <- x - F(x) has spectral
+        radius ~ dt^2 lam_max(curlcurl)/4 (27 at the golden config's
+        dt=1.5, dx=0.5) and diverges; preconditioning by the Chebyshev
+        inverse (solvers/spectral.py) leaves only the O(dt) plasma
+        response, which Anderson contracts in a handful of iterations.
+        This is the role the reference's NGMRES+EW inner solves play
+        (eccapfim/simulation.cpp:358-392).  Returns (G_fn, bound) where
+        ``bound`` is the spectral bound ||M||: testing ||M^{-1}F|| <=
+        tol/bound guarantees the reference's ||F|| <= tol budget.
+        """
+        from ..solvers.spectral import make_matM_preconditioner
+
+        geom = self.geom
+        import math
+
+        # matM in spectral.py is (2 + shift) I + (dt'^2/2) curlcurl;
+        # with dt' = dt/sqrt(2):  matM = 2 I + (dt^2/2) curlcurl = 2 M.
+        P = make_matM_preconditioner(geom, geom.dt / math.sqrt(2.0))
+        lam_cc = 4.0 * (1.0 / geom.dx**2 + 1.0 / geom.dy**2
+                        + 1.0 / geom.dz**2)
+        bound = 1.0 + 0.25 * geom.dt**2 * lam_cc
+
+        def G(x):
+            return 2.0 * P(self._residual(x), 0.0)
+
+        return G, float(bound)
+
     def timestep_implementation(self, t: int) -> None:
         geom = self.geom
         t0 = time.perf_counter()
 
         # init_iteration: guess E^{n+1/2,0} = E^n
         # (eccapfim/simulation.cpp:46-66).
+        G, bound = self._preconditioned_residual()
         result = anderson_solve(
-            self._residual, self.E, atol=ATOL, rtol=RTOL, maxit=MAXIT, m=10
+            G, self.E, atol=ATOL / bound, rtol=RTOL / bound,
+            maxit=MAXIT, m=10,
         )
         self.conv_history = result.history
         self.phase_timings["calc_iteration"] = time.perf_counter() - t0

@@ -45,6 +45,17 @@ from .base import Simulation
 ATOL = 1e-7
 RTOL = 1e-7
 MAXIT = 100
+# Solver-tolerance override for the chaos-budget experiment
+# (tests/test_golden.py::test_ecsim_solver_residual_scaling): tightening
+# the KSP tolerance must shrink the reference-vs-ours trajectory diffs
+# proportionally, proving the golden tolerances are solver noise, not a
+# physics bug.  None = the reference budget above.
+import os as _os
+
+_TOL_OVERRIDE = (
+    float(_os.environ["XPIC_KSP_TOL"]) if "XPIC_KSP_TOL" in _os.environ
+    else None
+)
 
 
 @partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))
@@ -76,6 +87,8 @@ def _advance_fields(E, B, B0, currI, L, geom: Geometry, maxit: int = MAXIT):
     per step (see the KSP history assertions in tests/test_golden.py).
     """
     tol = 1e-5 if E.dtype == jnp.float32 else ATOL
+    if _TOL_OVERRIDE is not None and E.dtype != jnp.float32:
+        tol = _TOL_OVERRIDE
     sol = advance_phase(E, B, B0, currI, L, geom, tol=tol, maxit=maxit)
     return sol.x, sol.iterations, sol.residual_norm, sol.converged
 

@@ -8,10 +8,11 @@ with least-squares mixing.
 
 The outer iteration is a host loop (the count is data-dependent and
 each evaluation is a full jitted particle sweep in eccapfim), but all
-vector algebra stays on device: the window history is a list of device
-arrays, the least-squares reduces to a (k x k) normal-equation solve,
-and the only host traffic per iteration is two scalars (residual and
-step norms) — no full-field round trips.
+vector algebra stays on device and compiles exactly once: the window is
+a fixed-size [m+1, n] device buffer with a validity mask (newest entry
+last), so the mixing kernel has one static shape for every window fill
+level — no per-window-size retraces.  The only host traffic per
+iteration is three scalars (residual, step and solution norms).
 """
 
 from __future__ import annotations
@@ -33,29 +34,46 @@ class NonlinearResult(NamedTuple):
 
 
 @jax.jit
-def _mix(Xs, Fs, damping):
-    """One Anderson update from the stacked window (device-side).
+def _push_window(Xs, Fs, mask, x, F):
+    """Shift the window left and append (x, F) as the newest entry."""
+    Xs = jnp.concatenate([Xs[1:], x[None]])
+    Fs = jnp.concatenate([Fs[1:], F[None]])
+    mask = jnp.concatenate([mask[1:], jnp.ones(1, mask.dtype)])
+    return Xs, Fs, mask
 
-    ``Xs``/``Fs`` are [k, n] with the newest entry last.  Solves the
-    regularized normal equations of min || F_k + dF gamma || and returns
-    (x_new, |F_k|, |x_new - X_k|).
+
+@jax.jit
+def _mix(Xs, Fs, mask, damping):
+    """One Anderson update from the masked window (device-side).
+
+    ``Xs``/``Fs`` are [m+1, n] with the newest entry last; ``mask``
+    [m+1] marks filled slots.  Solves the regularized normal equations
+    of min || F_k + dF gamma || over the masked history and returns
+    (x_new, |F_k|, |x_new - X_k|, |x_new|).  Masked rows get a unit
+    diagonal and zero right-hand side, so their gamma is exactly 0 —
+    one compiled shape serves every window fill level.
     """
     xk = Xs[-1]
     Fk = Fs[-1]
     rnorm = jnp.linalg.norm(Fk)
-    dF = (Fs[:-1] - Fk).T  # [n, k-1]
-    dX = (Xs[:-1] - xk).T
-    G = dF.T @ dF
+    hmask = mask[:-1]
+    dF = (Fs[:-1] - Fk) * hmask[:, None]  # [m, n]
+    dX = (Xs[:-1] - xk) * hmask[:, None]
+    G = dF @ dF.T
     scale = jnp.maximum(jnp.trace(G), 1e-300)
-    G = G + (1e-12 * scale) * jnp.eye(G.shape[0], dtype=G.dtype)
-    gamma = jnp.linalg.solve(G, -(dF.T @ Fk))
-    x_new = xk + dX @ gamma - damping * (Fk + dF @ gamma)
-    return x_new, rnorm, jnp.linalg.norm(x_new - xk)
-
-
-@jax.jit
-def _first_step(x, F, damping):
-    return x - damping * F, jnp.linalg.norm(F)
+    G = (
+        G
+        + (1e-12 * scale) * jnp.eye(G.shape[0], dtype=G.dtype)
+        + jnp.diag(1.0 - hmask)
+    )
+    gamma = jnp.linalg.solve(G, -(dF @ Fk))
+    x_new = xk + gamma @ dX - damping * (Fk + gamma @ dF)
+    return (
+        x_new,
+        rnorm,
+        jnp.linalg.norm(x_new - xk),
+        jnp.linalg.norm(x_new),
+    )
 
 
 def anderson_solve(residual_fn: Callable, x0, *, m: int = 10,
@@ -71,6 +89,7 @@ def anderson_solve(residual_fn: Callable, x0, *, m: int = 10,
     damp = jnp.asarray(damping, dtype)
 
     xf = jnp.asarray(x0).reshape(-1)
+    n = xf.shape[0]
     F = residual_fn(x0)
     Ff = jnp.asarray(F).reshape(-1)
     r0 = float(jnp.linalg.norm(Ff))
@@ -79,23 +98,13 @@ def anderson_solve(residual_fn: Callable, x0, *, m: int = 10,
     if r0 <= atol:
         return NonlinearResult(x0, 0, r0, True, history)
 
-    X_hist: list[jnp.ndarray] = []
-    F_hist: list[jnp.ndarray] = []
+    Xs = jnp.zeros((m + 1, n), dtype)
+    Fs = jnp.zeros((m + 1, n), dtype)
+    mask = jnp.zeros(m + 1, dtype)
 
     for it in range(1, maxit + 1):
-        X_hist.append(xf)
-        F_hist.append(Ff)
-        if len(X_hist) > m + 1:
-            X_hist.pop(0)
-            F_hist.pop(0)
-
-        if len(X_hist) == 1:
-            x_new, _ = _first_step(xf, Ff, damp)
-            step_d = jnp.linalg.norm(x_new - xf)
-        else:
-            x_new, _, step_d = _mix(
-                jnp.stack(X_hist), jnp.stack(F_hist), damp
-            )
+        Xs, Fs, mask = _push_window(Xs, Fs, mask, xf, Ff)
+        x_new, _, step_d, xnorm_d = _mix(Xs, Fs, mask, damp)
 
         xf = x_new
         F = residual_fn(xf.reshape(shape))
@@ -104,7 +113,7 @@ def anderson_solve(residual_fn: Callable, x0, *, m: int = 10,
         # One host fetch per iteration: [residual, step, solution] norms.
         rnorm, step, xnorm = (
             float(v) for v in np.asarray(
-                jnp.stack([jnp.linalg.norm(Ff), step_d, jnp.linalg.norm(xf)])
+                jnp.stack([jnp.linalg.norm(Ff), step_d, xnorm_d])
             )
         )
         history.append(rnorm)
