@@ -264,3 +264,40 @@ def test_ecsimcorr_charge_conservation_table(ecsimcorr_run):
     # sides: measured max diff 7.0e-13.
     assert_table(ecsimcorr_run, "ecsimcorr", "charge_conservation.txt",
                  {"*": 1e-10})
+
+
+# -- eccapfim: fully implicit, 10-step reference config ----------------------
+
+@pytest.fixture(scope="module")
+def eccapfim_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("golden_eccapfim")
+    # tests/eccapfim/eccapfim_ex1.cpp:36-50 — dx=0.5, dt=1.5, 10^3,
+    # geom_nt=10 (the reference commits only a 10-step horizon here).
+    return run_reference_config(tmp, "eccapfim", L=5.0, d=0.5, dt=1.5, nt=10)
+
+
+def test_eccapfim_energy_conservation_table(eccapfim_run):
+    # Measured (2026-08-19): dE 1.7e-8, dB 1.3e-8, dK 2.8e-7 against the
+    # reference's committed table — the Anderson-vs-NGMRES and
+    # 4-segment-vs-DDA redesigns agree to the solver budget over the
+    # full committed horizon.  The dE+dB+dK closure column sits at our
+    # solver + Crank-Nicolson floor (measured 2.6e-7; the reference's
+    # own values are ~1e-10 — its closure floor is below its 1e-7 SNES
+    # budget because the energy identity is exact at the converged
+    # solution, while our per-particle CN tolerance of 0.5e-7 leaks
+    # into dK).
+    assert_table(eccapfim_run, "eccapfim", "energy_conservation.txt",
+                 {"dE": 5e-7, "dB": 5e-7, "dK_electrons": 2e-6,
+                  "dE+dB+dK": 2e-6})
+
+
+def test_eccapfim_charge_conservation_table(eccapfim_run):
+    # Both sides satisfy continuity at roundoff: measured max diff
+    # 6.9e-13 (N1dQ), 2.9e-14 (N2dQ) — same scale as the committed
+    # values themselves.
+    assert_table(eccapfim_run, "eccapfim", "charge_conservation.txt",
+                 {"*": 1e-11})
+
+
+def test_eccapfim_initial_load_bitwise(eccapfim_run):
+    assert_dump(eccapfim_run, "eccapfim", "electrons/density", 0, 10, 0.0)

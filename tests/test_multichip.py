@@ -159,3 +159,84 @@ def test_ecsim_step_decomposition_invariance():
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c8), atol=1e-11)
     np.testing.assert_allclose(np.asarray(sp1.p), np.asarray(sp8.p),
                                atol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_neighbor_rebin_shardmap_matches_global():
+    """The Pallas neighbor migration under shard_map on the 8-device
+    mesh reproduces the global sort exactly (VERDICT r2 item 7: the
+    fast kernels must not be single-chip-only)."""
+    from xpic_tpu.ops import binning as B
+    from xpic_tpu.ops.neighbor_rebin import rebin_neighbor
+
+    geom = Geometry(dx=0.5, dy=0.5, dz=0.5, dt=1.5, nx=8, ny=8, nz=8, nt=1)
+    rng = np.random.default_rng(5)
+    n = geom.n_cells * 16
+    sp = ParticleArrays(
+        r=jnp.asarray(rng.random((n, 3)) * np.array(geom.L), jnp.float32),
+        p=jnp.asarray(rng.standard_normal((n, 3)) * 0.05, jnp.float32),
+        alive=jnp.ones(n, bool),
+    )
+    st = B._drift_impl(B.bin_state(sp, geom, 32), geom)
+    s_ref, l_ref = B._rebin_global(st, geom)
+
+    mesh = pm.make_mesh(8)
+    from xpic_tpu.parallel.mesh import state_sharding
+
+    st_sh = B.BinnedState(
+        r=jax.device_put(st.r, state_sharding(mesh, 3)),
+        p=jax.device_put(st.p, state_sharding(mesh, 3)),
+        valid=jax.device_put(st.valid, state_sharding(mesh, 2)),
+    )
+    s_nb, l_nb = rebin_neighbor(st_sh, geom, mesh=mesh, interpret=True)
+    assert [int(v) for v in np.asarray(l_ref)] == \
+           [int(v) for v in np.asarray(l_nb)]
+
+    def cell_sets(s):
+        r, p, v = (np.asarray(a) for a in (s.r, s.p, s.valid))
+        G, K = v.shape
+        return {g: sorted(tuple(np.round(np.concatenate([r[g, k], p[g, k]]),
+                                         5))
+                          for k in range(K) if v[g, k]) for g in range(G)}
+
+    assert cell_sets(s_nb) == cell_sets(s_ref)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_pallas_fill_shardmap_matches_einsum():
+    """The shard_mapped Pallas ECSIM fill on the 8-device mesh matches
+    the XLA einsum route (f32, interpret mode on CPU)."""
+    from xpic_tpu.ops import binning as B
+    from xpic_tpu.ops.ecsim_blocks import (
+        assemble_blocks, deposit_slot_sums, ecsim_particle_terms,
+        s1_slot_weights,
+    )
+    from xpic_tpu.ops.gather_scatter import B_STAGGER, cell_t, gather_vector
+    from xpic_tpu.parallel.step import _shardmap_fill
+
+    geom = Geometry(dx=0.5, dy=0.5, dz=0.5, dt=1.5, nx=8, ny=8, nz=8, nt=1)
+    rng = np.random.default_rng(6)
+    n = geom.n_cells * 8
+    sp = ParticleArrays(
+        r=jnp.asarray(rng.random((n, 3)) * np.array(geom.L), jnp.float32),
+        p=jnp.asarray(rng.standard_normal((n, 3)) * 0.05, jnp.float32),
+        alive=jnp.ones(n, bool),
+    )
+    st = B.bin_state(sp, geom, 16)
+    Bf = jnp.asarray(rng.standard_normal((3,) + geom.shape) * 0.01,
+                     jnp.float32)
+    t = cell_t(geom, st.r).astype(jnp.float32)
+    B_p = gather_vector(Bf, t, st.valid, geom, order=1, width=3, anchor=-1,
+                        stagger=B_STAGGER)
+    kw = dict(q=-1.0, m=1.0, mpw=0.125, dt=geom.dt)
+
+    W = s1_slot_weights(t)
+    I_p, M = ecsim_particle_terms(B_p, st.p, st.valid, **kw)
+    L_ref = assemble_blocks(W, M)
+
+    mesh = pm.make_mesh(8)
+    fill = _shardmap_fill(mesh, interpret=True, **kw)
+    L_sm, Islot = fill(t, st.p.astype(jnp.float32),
+                       B_p.astype(jnp.float32), st.valid)
+    np.testing.assert_allclose(np.asarray(L_sm), np.asarray(L_ref),
+                               atol=5e-6)

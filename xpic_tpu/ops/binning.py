@@ -402,7 +402,7 @@ def _pallas_interpret() -> bool:
         return True
 
 
-def _rebin_neighbor_guarded(st: BinnedState, geom: Geometry):
+def _rebin_neighbor_guarded(st: BinnedState, geom: Geometry, mesh=None):
     """Neighbor exchange with an in-graph fallback to the global sort
     when any live slot moved more than one cell along an axis (the
     reference's 26-neighbor exchange has the same reach,
@@ -411,26 +411,26 @@ def _rebin_neighbor_guarded(st: BinnedState, geom: Geometry):
 
     # f32 data AND x64 mode off: Mosaic on the current TPU toolchain
     # cannot legalize kernels traced with 64-bit index types (measured:
-    # even a trivial pallas_call fails under jax_enable_x64).  Single
-    # device only for now: pl.pallas_call has no SPMD partitioning rule,
-    # so mesh-sharded inputs must keep the global sort until the
-    # shard_map wrapper lands.
+    # even a trivial pallas_call fails under jax_enable_x64).  Under a
+    # mesh the kernels run per-shard via shard_map (pl.pallas_call has
+    # no SPMD rule); without an explicit mesh, multi-device processes
+    # keep the global sort.
     if (st.r.dtype != jnp.float32 or jax.config.jax_enable_x64
-            or len(jax.devices()) > 1):
+            or (mesh is None and len(jax.devices()) > 1)):
         return _rebin_global(st, geom)
     interp = _pallas_interpret()
     return jax.lax.cond(
         far_mover_count(st, geom) == 0,
-        lambda s: rebin_neighbor(s, geom, interpret=interp),
+        lambda s: rebin_neighbor(s, geom, mesh=mesh, interpret=interp),
         lambda s: _rebin_global(s, geom),
         st,
     )
 
 
-def _rebin_core(st: BinnedState, geom: Geometry):
+def _rebin_core(st: BinnedState, geom: Geometry, mesh=None):
     """Per-step migration with the strategy picked by ``XPIC_REBIN``."""
     if _REBIN_MODE == "neighbor":
-        return _rebin_neighbor_guarded(st, geom)
+        return _rebin_neighbor_guarded(st, geom, mesh)
     if _REBIN_MODE == "global":
         return _rebin_global(st, geom)
     if _REBIN_MODE == "incremental":
@@ -448,16 +448,16 @@ def _rebin_core(st: BinnedState, geom: Geometry):
     )
 
 
-@partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))
-def rebin(st: BinnedState, geom: Geometry) -> BinnedState:
+@partial(jax.jit, static_argnames=("geom", "mesh"), donate_argnums=(0,))
+def rebin(st: BinnedState, geom: Geometry, mesh=None) -> BinnedState:
     """:func:`_rebin_core` without the occupancy info (XLA removes the
     dead reductions); overflow beyond K slots in a cell is *dropped* —
     use :func:`rebin_checked` when capacity is in doubt."""
-    return _rebin_core(st, geom)[0]
+    return _rebin_core(st, geom, mesh)[0]
 
 
-@partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))
-def rebin_checked(st: BinnedState, geom: Geometry):
+@partial(jax.jit, static_argnames=("geom", "mesh"), donate_argnums=(0,))
+def rebin_checked(st: BinnedState, geom: Geometry, mesh=None):
     """:func:`rebin` plus the occupancy
     ``load = [max_per_cell, dropped, moved]``.
 
@@ -467,7 +467,7 @@ def rebin_checked(st: BinnedState, geom: Geometry):
     ``std::list`` cells, which can never overflow
     (src/interfaces/particles.h:32).
     """
-    return _rebin_core(st, geom)
+    return _rebin_core(st, geom, mesh)
 
 
 def wrap_state(st: BinnedState, geom: Geometry) -> BinnedState:
@@ -477,10 +477,10 @@ def wrap_state(st: BinnedState, geom: Geometry) -> BinnedState:
     return _drift_impl(st, geom, 0.0)
 
 
-def migrate_checked(st: BinnedState, geom: Geometry):
+def migrate_checked(st: BinnedState, geom: Geometry, mesh=None):
     """Boundary map + checked rebin: the full per-step migration.
     Plain (unjitted) — composes inside the scheme kernels."""
-    return _rebin_core(wrap_state(st, geom), geom)
+    return _rebin_core(wrap_state(st, geom), geom, mesh)
 
 
 def kinetic_energy_state(st: BinnedState, m_mpw: float) -> jax.Array:

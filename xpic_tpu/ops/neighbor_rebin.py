@@ -96,25 +96,21 @@ def _rank(m):
                                precision=HIGH)
 
 
-def _extract_kernel(P_ref, out_ref, up_ref, dn_ref, *, bg, stride):
+def _extract_kernel(P_ref, home_ref, out_ref, up_ref, dn_ref, *,
+                    axis_ch, n_ax):
     """Classify + clear movers + compact them into direction buffers.
 
     P [bg, 8, K] payload (channels rx, ry, rz, px, py, pz, valid, 0);
-    the pass axis is identified by ``stride`` (cells per +1 step of the
-    home coordinate) and ``n`` (axis extent); the position channel index
-    equals the axis id, passed via ``stride``/``n`` closure parameters.
+    ``home`` [bg, 1] int32 is each cell's coordinate along the pass axis
+    (an operand rather than program-id arithmetic so the same kernel is
+    valid inside shard_map, where program ids are shard-local).
     """
-    axis_ch, stride_cells, n_ax = stride
-    del stride
     K = P_ref.shape[2]
     A = up_ref.shape[1]  # buffers are [bg, A, C]
     f32 = jnp.float32
 
     P = P_ref[:]
-    # home coordinate of each row along the pass axis
-    g0 = pl.program_id(0) * bg
-    gids = g0 + jax.lax.broadcasted_iota(jnp.int32, (bg, 1), 0)
-    home = (gids // stride_cells) % n_ax                    # [bg, 1]
+    home = home_ref[:]                                      # [bg, 1]
 
     valid = P[:, 6, :] > 0.5
     c = jnp.clip(P[:, axis_ch, :].astype(jnp.int32), 0, n_ax - 1)
@@ -173,9 +169,9 @@ def _place_kernel(P_ref, up_ref, dn_ref, out_ref):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("axis_ch", "stride_cells", "n_ax",
-                                    "block_g", "interpret"))
-def _extract_pass(P, *, axis_ch: int, stride_cells: int, n_ax: int,
+                   static_argnames=("axis_ch", "n_ax", "block_g",
+                                    "interpret"))
+def _extract_pass(P, home, *, axis_ch: int, n_ax: int,
                   block_g: int = 64, interpret: bool = False):
     G, C, K = P.shape
     A = _mover_cols(K)
@@ -183,15 +179,15 @@ def _extract_pass(P, *, axis_ch: int, stride_cells: int, n_ax: int,
     grid = (G // bg,)
     pspec = pl.BlockSpec((bg, C, K), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((bg, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
     aspec = pl.BlockSpec((bg, A, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    kernel = functools.partial(
-        _extract_kernel, bg=bg, stride=(axis_ch, stride_cells, n_ax)
-    )
+    kernel = functools.partial(_extract_kernel, axis_ch=axis_ch, n_ax=n_ax)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pspec],
+        in_specs=[pspec, hspec],
         out_specs=(pspec, aspec, aspec),
         out_shape=(
             jax.ShapeDtypeStruct((G, C, K), jnp.float32),
@@ -204,7 +200,7 @@ def _extract_pass(P, *, axis_ch: int, stride_cells: int, n_ax: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(P)
+    )(P, home)
 
 
 @functools.partial(jax.jit, static_argnames=("block_g", "interpret"))
@@ -277,15 +273,59 @@ def far_mover_count(st: BinnedState, geom: Geometry) -> jnp.ndarray:
     return total
 
 
+def _cell_partition_spec(mesh):
+    """PartitionSpec entry for the flat (z-major) cell axis."""
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names) if len(mesh.axis_names) > 1 else "z"
+    return P, axes
+
+
+def _shardmap_extract(mesh, axis_ch, n_ax, interpret):
+    """Wrap the (cell-local) extract kernel in shard_map over the cell
+    axis — pl.pallas_call has no SPMD partitioning rule, so under a
+    mesh each shard runs its own kernel on its own cell block (the
+    cross-cell communication lives in the rolls outside)."""
+    from jax import shard_map
+
+    P, axes = _cell_partition_spec(mesh)
+    fn = functools.partial(_extract_pass, axis_ch=axis_ch, n_ax=n_ax,
+                           interpret=interpret)
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axes, None, None), P(axes, None)),
+        out_specs=(P(axes, None, None), P(axes, None, None),
+                   P(axes, None, None)),
+        check_vma=False,
+    )
+
+
+def _shardmap_place(mesh, interpret):
+    from jax import shard_map
+
+    P, axes = _cell_partition_spec(mesh)
+    fn = functools.partial(_place_pass, interpret=interpret)
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axes, None, None), P(axes, None, None),
+                  P(axes, None, None)),
+        out_specs=P(axes, None, None),
+        check_vma=False,
+    )
+
+
 def rebin_neighbor(st: BinnedState, geom: Geometry, *,
-                   interpret: bool = False):
+                   mesh=None, interpret: bool = False):
     """Dimension-split neighbor migration; same contract as
     ``binning._rebin_global``: returns ``(state, load)`` with
     ``load = [max_per_cell, dropped, moved]``.
 
     Requires every live slot to move at most one cell per axis (check
     with :func:`far_mover_count` and fall back to the global sort
-    otherwise — ``binning._rebin_core`` does exactly that).
+    otherwise — ``binning._rebin_core`` does exactly that).  Under a
+    ``mesh`` the Pallas kernels run per-shard via shard_map (the rolls
+    between them stay global, so GSPMD turns them into the halo
+    collective-permutes that carry the movers across shards).
     """
     G, K = st.valid.shape
     f32 = st.r.dtype
@@ -320,16 +360,24 @@ def rebin_neighbor(st: BinnedState, geom: Geometry, *,
     )
     P = jnp.concatenate([P, jnp.zeros((G, 8, A), f32)], axis=2)
 
+    if mesh is None:
+        place = functools.partial(_place_pass, interpret=interpret)
+    else:
+        place = _shardmap_place(mesh, interpret)
+
     for axis_ch, grid_axis, n_ax, stride in _axes(geom):
         if n_ax == 1:
             continue
-        P, up, dn = _extract_pass(
-            P, axis_ch=axis_ch, stride_cells=stride, n_ax=n_ax,
-            interpret=interpret,
-        )
+        home = _home_coord(geom, axis_ch)[:, None]  # [G, 1] int32
+        if mesh is None:
+            extract = functools.partial(_extract_pass, axis_ch=axis_ch,
+                                        n_ax=n_ax, interpret=interpret)
+        else:
+            extract = _shardmap_extract(mesh, axis_ch, n_ax, interpret)
+        P, up, dn = extract(P, home)
         up = _roll_cells(up, geom, grid_axis, +1)
         dn = _roll_cells(dn, geom, grid_axis, -1)
-        P = _place_pass(P, up, dn, interpret=interpret)
+        P = place(P, up, dn)
 
     # Fixup: pad-column occupants (transient overflow survivors) move
     # into free slots of the first K columns; if none are free the row
@@ -338,9 +386,7 @@ def rebin_neighbor(st: BinnedState, geom: Geometry, *,
     pad_occupancy = jnp.sum(pad_buf[:, :, 6]).astype(jnp.int32)
     P = jax.lax.cond(
         pad_occupancy > 0,
-        lambda args: _place_pass(args[0], args[1],
-                                 jnp.zeros_like(args[1]),
-                                 interpret=interpret),
+        lambda args: place(args[0], args[1], jnp.zeros_like(args[1])),
         lambda args: args[0],
         (P[:, :, :K], pad_buf),
     )

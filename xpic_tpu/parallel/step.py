@@ -58,7 +58,55 @@ _FORCE_PALLAS = _os.environ.get("XPIC_FORCE_PALLAS") == "1"
 
 
 def _pallas_ok(dtype) -> bool:
-    return _FORCE_PALLAS and dtype == jnp.float32
+    # Mosaic on the current TPU toolchain cannot legalize kernels traced
+    # in 64-bit mode, so the fast route also requires x64 off.
+    return (_FORCE_PALLAS and dtype == jnp.float32
+            and not jax.config.jax_enable_x64)
+
+
+def _cell_spec(mesh):
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names) if len(mesh.axis_names) > 1 else "z"
+    return P, axes
+
+
+def _shardmap_fill(mesh, *, q, m, mpw, dt, interpret):
+    """Per-shard Pallas fill under a mesh: the fill is cell-local by
+    construction (per-cell blocks + slot-summed currents), so shard_map
+    over the cell axis is exact (VERDICT r2 item 7)."""
+    from jax import shard_map
+
+    from ..ops.pallas_ecsim import ecsim_fill_pallas
+
+    P, axes = _cell_spec(mesh)
+    fn = lambda t, p, B_p, valid: ecsim_fill_pallas(  # noqa: E731
+        t, p, B_p, valid, q=q, m=m, mpw=mpw, dt=dt, interpret=interpret
+    )
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axes, None, None), P(axes, None, None),
+                  P(axes, None, None), P(axes, None)),
+        out_specs=(P(axes, None, None, None, None), P(axes, None, None)),
+        check_vma=False,
+    )
+
+
+def _shardmap_gather(mesh, interpret):
+    from jax import shard_map
+
+    from ..ops.pallas_ecsim import ecsim_gather_pallas
+
+    P, axes = _cell_spec(mesh)
+    fn = lambda t, Fg: ecsim_gather_pallas(  # noqa: E731
+        t, Fg, interpret=interpret
+    )
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axes, None, None), P(axes, None, None)),
+        out_specs=P(axes, None, None),
+        check_vma=False,
+    )
 
 
 def _pallas_interpret() -> bool:
@@ -68,7 +116,8 @@ def _pallas_interpret() -> bool:
         return True
 
 
-def fill_phase(B, st: BinnedState, t, geom: Geometry, *, q, m, mpw):
+def fill_phase(B, st: BinnedState, t, geom: Geometry, *, q, m, mpw,
+               mesh=None):
     """currI deposit + matL blocks + the slot weights/B at the particles
     (fill_ecsim_current, src/impls/ecsim/particles.cpp:33-173)."""
     dt = geom.dt
@@ -78,9 +127,15 @@ def fill_phase(B, st: BinnedState, t, geom: Geometry, *, q, m, mpw):
         from ..ops.ecsim_blocks import deposit_slot_sums
         from ..ops.pallas_ecsim import ecsim_fill_pallas
 
-        L, Islot = ecsim_fill_pallas(t, st.p, B_p, st.valid,
-                                     q=q, m=m, mpw=mpw, dt=dt,
-                                     interpret=_pallas_interpret())
+        if mesh is None:
+            L, Islot = ecsim_fill_pallas(t, st.p, B_p, st.valid,
+                                         q=q, m=m, mpw=mpw, dt=dt,
+                                         interpret=_pallas_interpret())
+        else:
+            L, Islot = _shardmap_fill(
+                mesh, q=q, m=m, mpw=mpw, dt=dt,
+                interpret=_pallas_interpret(),
+            )(t, st.p, B_p, st.valid)
         currI = deposit_slot_sums(Islot, geom)
         W = None
     else:
@@ -122,15 +177,19 @@ def advance_phase(E, B, B0, currI, L, geom: Geometry, *, tol, maxit):
                  M_inv=M_inv)
 
 
-def push_phase(Ep, st: BinnedState, t, W, B_p, geom: Geometry, *, qm):
+def push_phase(Ep, st: BinnedState, t, W, B_p, geom: Geometry, *, qm,
+               mesh=None):
     """Boris vEB with s1-interpolated fields at the already-moved
     positions (second_push, src/impls/ecsim/particles.cpp:175-196)."""
     if W is None:
         from ..ops.ecsim_blocks import gather_slots
         from ..ops.pallas_ecsim import ecsim_gather_pallas
 
-        E_p = ecsim_gather_pallas(t, gather_slots(Ep, geom),
-                                  interpret=_pallas_interpret())
+        Fg = gather_slots(Ep, geom)
+        if mesh is None:
+            E_p = ecsim_gather_pallas(t, Fg, interpret=_pallas_interpret())
+        else:
+            E_p = _shardmap_gather(mesh, _pallas_interpret())(t, Fg)
     else:
         E_p = gather_slot_fields(Ep, W, geom)
     E_p = jnp.where(st.valid[..., None], E_p, 0.0)
@@ -139,22 +198,26 @@ def push_phase(Ep, st: BinnedState, t, W, B_p, geom: Geometry, *, qm):
     return BinnedState(r=st.r, p=p1, valid=st.valid)
 
 
-@partial(jax.jit, static_argnames=("geom", "q", "m", "mpw", "maxit"))
+@partial(jax.jit, static_argnames=("geom", "q", "m", "mpw", "maxit",
+                                   "mesh"))
 def ecsim_step_binned(E, B, B0, st: BinnedState, geom: Geometry,
-                      q: float, m: float, mpw: float, maxit: int = 100):
+                      q: float, m: float, mpw: float, maxit: int = 100,
+                      mesh=None):
     """One full ECSIM timestep for a single species, fully fused, over
-    the persistent binned layout."""
+    the persistent binned layout.  ``mesh`` (static) routes the Pallas
+    kernels through shard_map when the state is mesh-sharded."""
     # f32 cannot reach the f64 parity tolerance of 1e-7 relative
     # (the reference's KSP budget, ecsim/simulation.h:15-18); the speed
     # path solves to the dtype's achievable floor instead.
     tol = 1e-5 if E.dtype == jnp.float32 else 1e-7
 
-    st = rebin(drift_state(st, geom), geom)
+    st = rebin(drift_state(st, geom), geom, mesh)
     t = cell_t(geom, st.r)
-    currI, L, W, B_p = fill_phase(B, st, t, geom, q=q, m=m, mpw=mpw)
+    currI, L, W, B_p = fill_phase(B, st, t, geom, q=q, m=m, mpw=mpw,
+                                  mesh=mesh)
     sol = advance_phase(E, B, B0, currI, L, geom, tol=tol, maxit=maxit)
     Ep = sol.x
-    st = push_phase(Ep, st, t, W, B_p, geom, qm=q / m)
+    st = push_phase(Ep, st, t, W, B_p, geom, qm=q / m, mesh=mesh)
 
     E_new = 2.0 * Ep - E
     B_new = B - geom.dt * curl_positive(Ep, geom.cell_steps, geom.bounds)
@@ -162,24 +225,26 @@ def ecsim_step_binned(E, B, B0, st: BinnedState, geom: Geometry,
 
 
 @partial(jax.jit,
-         static_argnames=("geom", "slots", "q", "m", "mpw", "maxit"))
+         static_argnames=("geom", "slots", "q", "m", "mpw", "maxit",
+                          "mesh"))
 def ecsim_step(E, B, B0, sp: ParticleArrays, geom: Geometry, slots: int,
-               q: float, m: float, mpw: float, maxit: int = 100):
+               q: float, m: float, mpw: float, maxit: int = 100,
+               mesh=None):
     """Flat-species wrapper around :func:`ecsim_step_binned` (kept for
     the multichip dryrun/tests API; converts at the boundary)."""
     st = bin_state(sp, geom, slots)
     E2, B2, st, currI, iters = ecsim_step_binned(
-        E, B, B0, st, geom, q=q, m=m, mpw=mpw, maxit=maxit
+        E, B, B0, st, geom, q=q, m=m, mpw=mpw, maxit=maxit, mesh=mesh
     )
     return E2, B2, unbin_state(st, geom), currI, iters
 
 
 @partial(jax.jit,
          static_argnames=("geom", "slots", "q", "m", "mpw", "maxit",
-                          "n_steps"))
+                          "n_steps", "mesh"))
 def ecsim_multi_step(E, B, B0, sp: ParticleArrays, geom: Geometry,
                      slots: int, q: float, m: float, mpw: float,
-                     maxit: int = 100, n_steps: int = 10):
+                     maxit: int = 100, n_steps: int = 10, mesh=None):
     """``n_steps`` fused ECSIM timesteps under one jit (lax.scan).
 
     The production driver steps from the host for diagnostics cadence;
@@ -195,7 +260,7 @@ def ecsim_multi_step(E, B, B0, sp: ParticleArrays, geom: Geometry,
     def body(carry, _):
         E, B, st = carry
         E2, B2, st2, _, iters = ecsim_step_binned(
-            E, B, B0, st, geom, q=q, m=m, mpw=mpw, maxit=maxit
+            E, B, B0, st, geom, q=q, m=m, mpw=mpw, maxit=maxit, mesh=mesh
         )
         return (E2, B2, st2), iters
 

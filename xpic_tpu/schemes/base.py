@@ -183,14 +183,9 @@ class Simulation:
                     f"config requests {cfg.n_devices} devices, "
                     f"only {len(jax.devices())} available"
                 )
-            if pstep._FORCE_PALLAS:
-                # pl.pallas_call has no SPMD partitioning rule: under
-                # GSPMD it would replicate the block inputs per device
-                # and destroy the decomposition.
-                raise RuntimeError(
-                    "XPIC_FORCE_PALLAS is incompatible with a multi-device "
-                    "mesh; unset it for sharded runs"
-                )
+            # Pallas kernels run per-shard via shard_map under the
+            # mesh (parallel/step._shardmap_fill / ops/neighbor_rebin);
+            # pl.pallas_call itself has no SPMD partitioning rule.
             self.mesh = pm.make_mesh(cfg.mesh_shape)
 
         g = self.geom

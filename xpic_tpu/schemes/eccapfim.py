@@ -190,11 +190,11 @@ def _form_species(E_hk, B, st: BinnedState, geom: Geometry,
     return J, r_new_g, pn, avg_it, jnp.sum(nonconv), max_disp
 
 
-@partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))
-def _commit_state(st: BinnedState, geom: Geometry):
+@partial(jax.jit, static_argnames=("geom", "mesh"), donate_argnums=(0,))
+def _commit_state(st: BinnedState, geom: Geometry, mesh=None):
     """Boundary map + checked migration of the converged particle move
     (after_iteration -> update_cells, eccapfim/simulation.cpp:106-129)."""
-    return migrate_checked(st, geom)
+    return migrate_checked(st, geom, mesh)
 
 
 class EccapfimSimulation(Simulation):
@@ -334,7 +334,8 @@ class EccapfimSimulation(Simulation):
                 continue
             r_new_g, pn = pending
             sp.state, load = _commit_state(
-                BinnedState(r=r_new_g, p=pn, valid=sp.state.valid), geom
+                BinnedState(r=r_new_g, p=pn, valid=sp.state.valid), geom,
+                self.mesh,
             )
             sp.J = self._J_last
             self.check_load(sp, load)

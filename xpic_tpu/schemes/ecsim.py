@@ -58,20 +58,21 @@ _TOL_OVERRIDE = (
 )
 
 
-@partial(jax.jit, static_argnames=("geom",), donate_argnums=(0,))
-def _first_push_binned(st: BinnedState, geom: Geometry):
+@partial(jax.jit, static_argnames=("geom", "mesh"), donate_argnums=(0,))
+def _first_push_binned(st: BinnedState, geom: Geometry, mesh=None):
     """r += v dt (ecsim/particles.cpp:21-30), boundary map, then the
     capacity-checked migration (update_cells, interfaces/particles.cpp)."""
-    return _rebin_core(_drift_impl(st, geom), geom)
+    return _rebin_core(_drift_impl(st, geom), geom, mesh)
 
 
-@partial(jax.jit, static_argnames=("geom", "q", "m", "mpw"))
+@partial(jax.jit, static_argnames=("geom", "q", "m", "mpw", "mesh"))
 def _fill_binned(B, st: BinnedState, geom: Geometry, q: float, m: float,
-                 mpw: float):
+                 mpw: float, mesh=None):
     """One species' currI deposit and matL blocks
     (fill_ecsim_current, ecsim/particles.cpp:33-173)."""
     t = cell_t(geom, st.r)
-    currI, L, W, B_p = fill_phase(B, st, t, geom, q=q, m=m, mpw=mpw)
+    currI, L, W, B_p = fill_phase(B, st, t, geom, q=q, m=m, mpw=mpw,
+                                  mesh=mesh)
     return currI, L, W, B_p, t
 
 
@@ -93,12 +94,12 @@ def _advance_fields(E, B, B0, currI, L, geom: Geometry, maxit: int = MAXIT):
     return sol.x, sol.iterations, sol.residual_norm, sol.converged
 
 
-@partial(jax.jit, static_argnames=("geom", "qm"))
+@partial(jax.jit, static_argnames=("geom", "qm", "mesh"))
 def _second_push_binned(Ep, st: BinnedState, t, W, B_p, geom: Geometry,
-                        qm: float):
+                        qm: float, mesh=None):
     """Boris vEB with s1-interpolated fields at the already-moved
     positions (ecsim/particles.cpp:175-196)."""
-    return push_phase(Ep, st, t, W, B_p, geom, qm=qm)
+    return push_phase(Ep, st, t, W, B_p, geom, qm=qm, mesh=mesh)
 
 
 @partial(jax.jit, static_argnames=("geom",))
@@ -127,7 +128,8 @@ class EcsimSimulation(Simulation):
 
     def first_push(self) -> None:
         for sp in self.species:
-            sp.state, sp._load = _first_push_binned(sp.state, self.geom)
+            sp.state, sp._load = _first_push_binned(sp.state, self.geom,
+                                                     self.mesh)
         self.fill_ecsim_current()
 
     def fill_ecsim_current(self) -> None:
@@ -137,7 +139,8 @@ class EcsimSimulation(Simulation):
                 continue
             pr = sp.params
             currI_s, L_s, W, B_p, t = _fill_binned(
-                self.B, sp.state, self.geom, pr.q, pr.m, pr.n_Np
+                self.B, sp.state, self.geom, pr.q, pr.m, pr.n_Np,
+                self.mesh,
             )
             sp.currI = currI_s
             sp._cache = (t, W, B_p)
@@ -165,7 +168,8 @@ class EcsimSimulation(Simulation):
                 continue
             t, W, B_p = sp._cache
             sp.state = _second_push_binned(
-                self.Ep, sp.state, t, W, B_p, self.geom, sp.params.qm
+                self.Ep, sp.state, t, W, B_p, self.geom, sp.params.qm,
+                self.mesh,
             )
             sp._cache = None
 

@@ -50,8 +50,10 @@ from ..solvers import cg
 from .ecsim import ATOL, MAXIT, RTOL, EcsimSimulation, _final_update
 
 
-@partial(jax.jit, static_argnames=("geom", "alpha"), donate_argnums=(0,))
-def _half_drift_deposit(st: BinnedState, geom: Geometry, alpha: float):
+@partial(jax.jit, static_argnames=("geom", "alpha", "mesh"),
+         donate_argnums=(0,))
+def _half_drift_deposit(st: BinnedState, geom: Geometry, alpha: float,
+                        mesh=None):
     """r += v dt/2 with Esirkepov deposit over the half move, then the
     checked migration (ecsimcorr/particles.cpp:27-50)."""
     d = jnp.asarray(geom.cell_steps, dtype=st.r.dtype)
@@ -60,15 +62,16 @@ def _half_drift_deposit(st: BinnedState, geom: Geometry, alpha: float):
     t1 = cell_t(geom, rg1)
     J_inc = esirkepov_current(t0, t1, st.valid, alpha, geom)
     st2, load = migrate_checked(
-        BinnedState(r=rg1, p=st.p, valid=st.valid), geom
+        BinnedState(r=rg1, p=st.p, valid=st.valid), geom, mesh
     )
     return st2, J_inc, load
 
 
-@partial(jax.jit, static_argnames=("geom", "qm", "qn_Np", "alpha"),
+@partial(jax.jit,
+         static_argnames=("geom", "qm", "qn_Np", "alpha", "mesh"),
          donate_argnums=(2,))
 def _second_push_corr(Ep, B, st: BinnedState, geom: Geometry,
-                      qm: float, qn_Np: float, alpha: float):
+                      qm: float, qn_Np: float, alpha: float, mesh=None):
     """Boris vEB + second half drift + Esirkepov deposit + pred_w
     (ecsimcorr/particles.cpp:52-92)."""
     t = cell_t(geom, st.r)
@@ -90,7 +93,7 @@ def _second_push_corr(Ep, B, st: BinnedState, geom: Geometry,
     )
 
     st2, load = migrate_checked(
-        BinnedState(r=rg1, p=p1, valid=st.valid), geom
+        BinnedState(r=rg1, p=p1, valid=st.valid), geom, mesh
     )
     return st2, J_inc, pred_w, load
 
@@ -169,7 +172,7 @@ class EcsimcorrSimulation(EcsimSimulation):
                 continue
             alpha = sp.params.q * sp.params.n_Np / (6.0 * self.geom.dt)
             sp.state, J_inc, sp._load = _half_drift_deposit(
-                sp.state, self.geom, alpha
+                sp.state, self.geom, alpha, self.mesh
             )
             sp.currJe = J_inc
         self.fill_ecsim_current()
@@ -182,7 +185,7 @@ class EcsimcorrSimulation(EcsimSimulation):
             alpha = pr.q * pr.n_Np / (6.0 * self.geom.dt)
             sp.state, J_inc, pred_w, load2 = _second_push_corr(
                 self.Ep, self.B, sp.state, self.geom,
-                pr.qm, pr.q * pr.n_Np, alpha,
+                pr.qm, pr.q * pr.n_Np, alpha, self.mesh,
             )
             # Keep the max of the two half-step migrations' loads.
             if sp._load is not None:
