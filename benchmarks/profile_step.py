@@ -19,7 +19,7 @@ N = geom.n_cells * ppc
 r = rng.random((N,3)) * np.array(geom.L)
 p = rng.standard_normal((N,3)) * 0.014
 sp = ParticleArrays(r=jnp.asarray(r, jnp.float32), p=jnp.asarray(p, jnp.float32), alive=jnp.ones(N, bool))
-slots = 64
+slots = int(os.environ.get("BENCH_SLOTS", "64"))
 st = bin_state(sp, geom, slots)
 shape = (3, n, n, n)
 E = jnp.zeros(shape, jnp.float32); B = jnp.zeros(shape, jnp.float32); B0 = jnp.zeros(shape, jnp.float32)

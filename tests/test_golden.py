@@ -20,12 +20,23 @@ These tests reproduce that bar end-to-end:
 * ``ecsim``/``ecsimcorr`` involve a Krylov solve: our GMRES and PETSc's
   converge to the same 1e-7 budget but along different arithmetic
   paths, and the N-body dynamics amplifies that residual-level
-  difference exponentially (measured e-folding ~0.12/step).  Step-1
-  columns match to ~2e-10; over the full 100 steps trajectory columns
-  drift to ~2.6e-5 (ecsim) / ~1.4e-5 (ecsimcorr).  The *identity*
-  columns (dE+dB+dK, the ecsimcorr work bookkeeping PWD/LdK/WD, charge
-  conservation norms) stay at 1e-10..1e-15 for the whole horizon —
-  those are solver-independent and carry the tight tolerances below.
+  difference exponentially.  Step-1 columns match to ~2e-10; over the
+  full 100 steps trajectory columns drift to ~2.6e-5 (ecsim) / ~1.4e-5
+  (ecsimcorr).  The *identity* columns (dE+dB+dK, the ecsimcorr work
+  bookkeeping PWD/LdK/WD, charge conservation norms) stay at
+  1e-10..1e-15 for the whole horizon — those are solver-independent
+  and carry the tight tolerances below.
+
+  **Measured evidence that the trajectory tolerances are solver noise,
+  not a physics bug** (2026-08-19, the XPIC_KSP_TOL experiment, 20
+  steps of the ecsim config): tightening OUR solve from 1e-7 to 1e-10
+  leaves the reference-vs-ours trajectory diffs unchanged (dE 6.58e-7
+  -> 6.56e-7, dK 6.14e-7 -> 6.16e-7) while our own closure identity
+  drops proportionally to the residual (dE+dB+dK diff 1.1e-9 ->
+  6.9e-13).  The step-20 diff floor is therefore the *reference's* own
+  1e-7 KSP budget, which no tightening on our side can remove; the
+  measured growth from there (2.1e-7 @ step 10, 6.6e-7 @ 20, 2.6e-5 @
+  100 => e-folding ~0.046/step) sets the full-horizon tolerances.
 
 Measured-vs-asserted margins are ~5-20x.  Reference configs:
 tests/{basic,ecsim,ecsimcorr}/{basic,ecsim,ecsimcorr}_ex1.cpp.
