@@ -128,16 +128,21 @@ def main() -> None:
     spmv_nnz_per_s = nnz_per_iter * iters / solve_s
 
     # Roofline model: dominant HBM bytes per fused ECSIM step (payload
-    # migration traffic + fill inputs + L write/reads + solve streams),
-    # kept in sync with BENCH_NOTES.md.
+    # migration traffic + fill inputs + mass-matrix traffic + solve
+    # streams), kept in sync with BENCH_NOTES.md.  The matrix-free mass
+    # path (the f32 default, ops/mass_free.py) never writes L; each
+    # solver iteration instead re-reads (t, b, coef) = 7 NK planes.
     K = slots
     NK = G * K
     itemsize = np.dtype(str(E1.dtype)).itemsize
-    bytes_L = G * 1296 * itemsize
+    if isinstance(L, tuple):  # matrix-free
+        bytes_mass = NK * 7 * itemsize * (1 + iters)
+    else:
+        bytes_mass = G * 1296 * itemsize * (2 + iters)
     bytes_step = (
-        NK * 8 * itemsize * 8          # migration payload touches (~8x)
+        NK * 8 * itemsize * 6          # migration sort + merge touches
         + NK * 3 * itemsize * 6        # fill inputs (t, p, B_p) x r/w
-        + bytes_L * (2 + iters)        # L write + per-iteration reads
+        + bytes_mass
         + G * 3 * itemsize * 40        # field/stencil streams
     )
     hbm_gbps = bytes_step / elapsed / 1e9

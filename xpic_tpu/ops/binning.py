@@ -419,9 +419,18 @@ def _rebin_neighbor_guarded(st: BinnedState, geom: Geometry, mesh=None):
             or (mesh is None and len(jax.devices()) > 1)):
         return _rebin_global(st, geom)
     interp = _pallas_interpret()
+    # One pass over the state yields both the guard condition and the
+    # exchange statistics the neighbor path reports (XLA fuses the
+    # reductions; recomputing them inside rebin_neighbor would read the
+    # full payload a second time).
+    ids = state_cell_ids(st, geom)
+    home_flat = jnp.arange(st.valid.shape[0], dtype=jnp.int32)[:, None]
+    moved = jnp.sum(st.valid & (ids != home_flat)).astype(jnp.int32)
+    n_before = jnp.sum(st.valid).astype(jnp.int32)
     return jax.lax.cond(
         far_mover_count(st, geom) == 0,
-        lambda s: rebin_neighbor(s, geom, mesh=mesh, interpret=interp),
+        lambda s: rebin_neighbor(s, geom, mesh=mesh, interpret=interp,
+                                 stats=(moved, n_before)),
         lambda s: _rebin_global(s, geom),
         st,
     )

@@ -11,40 +11,45 @@ pays log^2(G*K) bitonic passes over the full payload — measured 38 ms
 at the 32^3 x 50ppc bench shape on v5e, 46% of the whole ECSIM step.
 
 This module does the TPU-native analog of the reference's neighbor
-exchange with *dimension splitting*: three axis passes (x, y, z), each
+exchange, shaped so the per-cell Pallas compaction kernels only ever
+touch the *movers*, never the full payload:
 
-1. **extract** (Pallas): classify every slot as stay / +1 / -1 along
-   the axis (home coordinates derived from the grid program id — no
-   XLA-side mask materialization), compact each cell's movers into a
-   small [G, 8, A] buffer (A ~ 16 columns) and clear them from the
-   resident rows.  Group ranks come from one [K, K] triangular matmul;
-   the compaction itself is an A-term unrolled select-accumulate on the
-   VPU — batched per-cell matmuls are catastrophically slow on the MXU
-   (measured 10.5 ms/axis for [8, K] x [K, A] per cell at the bench
-   shape), the unrolled form is pure vector work.
-2. **roll**: move only the mover buffers by +-1 cell along the axis,
-   viewed as [G, 8A] so the lane dimension is exactly 128 (an [G, 8, A]
-   roll pays an 8x lane-padding tax).  Under GSPMD these rolls are the
-   halo collective-permutes — the particle exchange rides ICI exactly
-   like the reference's 26-neighbor Isend/Irecv, at mover-buffer size.
-3. **place** (Pallas): insert the up-to-2A arrivals into each
-   destination row's free slots (holes left by leavers and dead
-   padding, filled front-first), again A-term unrolled.
+1. **partition sort** (XLA lane sort, once per step): each row is
+   sorted into [stayers | dead | movers] — one 8-operand [G, K] sort
+   costs ~3.5 ms at the bench shape, far less than classify/compact
+   kernels over the full [G, 8, K] payload per axis.  The movers land
+   in the last AT ~ K/3 columns, from which the mover buffer
+   [G, 8, AT] is a static slice, and the stayers form a prefix so
+   every column >= n_stay is free for arrivals.
+2. **dimension-split exchange on the buffer**: three axis passes
+   (x, y, z), each extract (Pallas: classify +-1 along the axis,
+   compact per direction via a log2 lane prefix-scan and an A-term
+   unrolled select-accumulate — batched per-cell matmuls run at
+   0.4 TF/s on the MXU, benchmarks/profile_roofcal.py, so everything
+   stays on the VPU) -> roll the [G, A, 8] direction buffers by +-1
+   cell (single-chip: a Pallas block copy with a shifted index map —
+   XLA's slice+concat roll ran at 23 GB/s; under GSPMD the jnp.roll
+   form is kept so the rolls become the halo collective-permutes, the
+   particle exchange riding ICI exactly like the reference's
+   26-neighbor Isend/Irecv) -> place (Pallas: insert arrivals into the
+   buffer's free columns front-first).  Multi-axis movers ride the
+   buffer through all three passes.
+3. **static tail merge** (XLA): buffer arrivals are compacted by one
+   cheap [G, AT] sort, and arrival q enters its destination row at
+   column K-1-q — free by the partition-sort invariant whenever
+   K-1-q >= n_stay, so the merge is a static-column select with no
+   per-row scatter.
 
-Payload-carrying contractions avoid the MXU's default single-pass bf16
-(it truncates particle coordinates); the rank matmuls run at
-``Precision.HIGHEST`` (exact for small integers).
+Anything faster than one cell per axis per step falls back to the
+global sort via ``lax.cond`` (the caller counts such "far movers"
+first); capacity overflow (a cell with more than AT leavers, more
+per-direction movers than A, or a destination tail too full) surfaces
+as ``dropped`` in the load vector, which the schemes already treat as
+a hard error.
 
-Diagonal movers migrate one axis per pass (the standard dimensional
-split).  Anything faster than one cell per axis per step falls back to
-the global sort via ``lax.cond`` (the caller counts such "far movers"
-first); capacity overflow (more movers per row/direction than A, or a
-full destination row) surfaces as ``dropped`` in the load vector,
-which the schemes already treat as a hard error.
-
-Determinism: arrivals fill free slots in (direction, source-slot)
-order — a pure function of the pre-pass state, independent of the
-device mesh.
+Determinism: the partition sort, the buffer passes, and the tail merge
+are all keyed by (class, slot index) — a pure function of the pre-pass
+state, independent of the device mesh.
 """
 
 from __future__ import annotations
@@ -58,9 +63,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import Geometry
 from .binning import BinnedState, _cell_centers
-
-HIGH = jax.lax.Precision.HIGHEST
-
 
 def _pick_block(G: int, want: int = 64) -> int:
     bg = min(want, G)
@@ -80,20 +82,32 @@ def _mover_cols(K: int) -> int:
     return max(16, -(-K // 8) // 8 * 8)
 
 
-def _rank_matrix(K: int, dtype):
-    """T[j, s] = 1 if j < s (exclusive prefix count by matmul —
-    Mosaic iota is integer-only, so compare in int32)."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-    return (row < col).astype(dtype)
+def _buffer_cols(K: int) -> int:
+    """Total mover-buffer columns AT: every leaver of a cell must fit
+    (CFL-guarded runs move ~6% of a cell's occupancy per step; ceil(K/3)
+    rounded up to 8 is >= 5x the Poisson tail at the bench shape).
+    Capped at K so the static tail merge can always slice [K-AT:]."""
+    return min(K, max(16, (-(-K // 3) + 7) // 8 * 8))
 
 
 def _rank(m):
-    """Exclusive within-group prefix count along lanes, [bg, K] f32."""
-    T = _rank_matrix(m.shape[1], m.dtype)
-    return jax.lax.dot_general(m, T, (((1,), (0,)), ((), ())),
-                               preferred_element_type=m.dtype,
-                               precision=HIGH)
+    """Exclusive within-group prefix count along lanes, [bg, K] f32.
+
+    Hillis–Steele scan: log2(K) ``pltpu.roll`` + masked-add passes on
+    the VPU.  The earlier [bg, K] x [K, K] triangular-matmul form paid
+    the batched-small-matmul penalty (measured 0.4 TF/s on v5e for
+    such shapes, benchmarks/profile_roofcal.py) and dominated the
+    extract/place kernels."""
+    K = m.shape[-1]
+    axis = m.ndim - 1
+    col = jax.lax.broadcasted_iota(jnp.int32, m.shape, axis)
+    x = m
+    shift = 1
+    while shift < K:
+        rolled = pltpu.roll(x, shift, axis=axis)
+        x = x + jnp.where(col >= shift, rolled, jnp.zeros_like(x))
+        shift <<= 1
+    return x - m
 
 
 def _extract_kernel(P_ref, home_ref, out_ref, up_ref, dn_ref, *,
@@ -248,14 +262,102 @@ def _home_coord(geom: Geometry, axis: int) -> jnp.ndarray:
     return g // (geom.nx * geom.ny)
 
 
-def _roll_cells(Abuf, geom: Geometry, grid_axis: int, shift: int):
+def _roll_kernel_sub(in_ref, out_ref, *, shift):
+    """Roll the sublane (cell) axis of one block in VMEM."""
+    out_ref[:] = pltpu.roll(in_ref[:], shift, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "interpret"))
+def _roll_outer_pallas(V, shift: int, interpret: bool = False):
+    """[n, R] rolled along axis 0 by a pure block copy with a shifted
+    index map — each grid step DMAs row (i - shift) mod n to row i.
+    The row is viewed [S, 128] to satisfy Mosaic's (8, 128) block
+    tiling (R is a multiple of 1024 by construction: ny*nx*A*C with
+    A*C = 128)."""
+    n, R = V.shape
+    S = R // 128
+    V3 = V.reshape(n, S, 128)
+
+    def copy_kernel(in_ref, out_ref):
+        out_ref[:] = in_ref[:]
+
+    out = pl.pallas_call(
+        copy_kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, S, 128),
+                               lambda i: ((i - shift) % n, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, S, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, S, 128), V.dtype),
+        interpret=interpret,
+    )(V3)
+    return out.reshape(n, R)
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "shift",
+                                             "interpret"))
+def _roll_inner_pallas(V, n_blocks: int, shift: int,
+                       interpret: bool = False):
+    """[n_blocks * L, R] rolled by ``shift`` rows *within* each
+    consecutive L-row block (the x / y cell-line rolls): one
+    ``pltpu.roll`` over the sublane axis per block, all in VMEM."""
+    nR, R = V.shape
+    L = nR // n_blocks
+    return pl.pallas_call(
+        functools.partial(_roll_kernel_sub, shift=shift % L),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((L, R), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((L, R), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nR, R), V.dtype),
+        interpret=interpret,
+    )(V)
+
+
+def _roll_cells(Abuf, geom: Geometry, grid_axis: int, shift: int,
+                *, mesh=None, interpret: bool = False):
     """Roll a [G, A, C] mover buffer by ``shift`` cells along one
     spatial axis of the [nz, ny, nx] cell grid.  The buffer is viewed
     as [..., A*C] so the rolled lane dimension is dense (A*C = 128 for
-    the default 16 columns x 8 channels)."""
+    the default 16 columns x 8 channels).
+
+    Under a mesh the jnp.roll form is kept: GSPMD turns it into the
+    halo collective-permute that carries movers across shards.
+    Single-chip, jnp.roll lowers to slice+concat at ~23 GB/s
+    (benchmarks/profile_roofcal.py), so the Pallas forms are used:
+    z rolls whole [ny*nx, A*C] planes via a shifted block index map,
+    x / y roll sublanes within each cell line / plane in VMEM."""
     G, A, C = Abuf.shape
-    V = Abuf.reshape(geom.nz, geom.ny, geom.nx, A * C)
-    return jnp.roll(V, shift, axis=grid_axis).reshape(G, A, C)
+    AC = A * C
+    plane_bytes = geom.ny * geom.nx * AC * Abuf.dtype.itemsize
+    # Mosaic wants (sublane % 8, lane % 128) blocks: the z path views
+    # rows as [ny*nx*AC/128, 128], the x/y paths roll nx- / ny-row
+    # groups on sublanes.  Odd-shaped (test-sized) grids fall back.
+    pallas_ok = (
+        mesh is None
+        and AC % 128 == 0
+        and not (grid_axis <= 1 and plane_bytes > 4 << 20)
+        and not (grid_axis == 0 and (geom.ny * geom.nx * AC // 128) % 8)
+        and not (grid_axis == 1 and geom.ny % 8)
+        and not (grid_axis == 2 and geom.nx % 8)
+    )
+    if not pallas_ok:
+        V = Abuf.reshape(geom.nz, geom.ny, geom.nx, AC)
+        return jnp.roll(V, shift, axis=grid_axis).reshape(G, A, C)
+    flat = Abuf.reshape(G, AC)
+    if grid_axis == 0:  # z: stride ny*nx rows — block-shifted copy
+        V = flat.reshape(geom.nz, geom.ny * geom.nx * AC)
+        out = _roll_outer_pallas(V, shift, interpret=interpret)
+    elif grid_axis == 1:  # y: roll ny-row groups within each z plane
+        out = _roll_inner_pallas(
+            flat.reshape(geom.nz * geom.ny, geom.nx * AC),
+            geom.nz, shift, interpret=interpret)
+    else:  # x: roll nx-row groups within each (z, y) line
+        out = _roll_inner_pallas(flat, geom.nz * geom.ny, shift,
+                                 interpret=interpret)
+    return out.reshape(G, A, C)
 
 
 def far_mover_count(st: BinnedState, geom: Geometry) -> jnp.ndarray:
@@ -315,7 +417,7 @@ def _shardmap_place(mesh, interpret):
 
 
 def rebin_neighbor(st: BinnedState, geom: Geometry, *,
-                   mesh=None, interpret: bool = False):
+                   mesh=None, interpret: bool = False, stats=None):
     """Dimension-split neighbor migration; same contract as
     ``binning._rebin_global``: returns ``(state, load)`` with
     ``load = [max_per_cell, dropped, moved]``.
@@ -326,46 +428,68 @@ def rebin_neighbor(st: BinnedState, geom: Geometry, *,
     ``mesh`` the Pallas kernels run per-shard via shard_map (the rolls
     between them stay global, so GSPMD turns them into the halo
     collective-permutes that carry the movers across shards).
+
+    ``stats``, if given, is the precomputed ``(moved, n_before)`` pair —
+    the guard in ``binning._rebin_neighbor_guarded`` already reads the
+    full state for the far-mover count, so recomputing the exchange
+    statistics here would be a second full pass.
     """
     G, K = st.valid.shape
     f32 = st.r.dtype
+    AT = _buffer_cols(K)
 
-    # moved (exchange statistic): slots whose flat cell id changed.
     from .binning import state_cell_ids
 
     ids = state_cell_ids(st, geom)
     home_flat = jnp.arange(G, dtype=jnp.int32)[:, None]
-    moved = jnp.sum(st.valid & (ids != home_flat)).astype(jnp.int32)
-    n_before = jnp.sum(st.valid).astype(jnp.int32)
+    mover = st.valid & (ids != home_flat)
+    if stats is None:
+        moved = jnp.sum(mover).astype(jnp.int32)
+        n_before = jnp.sum(st.valid).astype(jnp.int32)
+    else:
+        moved, n_before = stats
 
-    # payload [G, 8, K + A]: rx, ry, rz, px, py, pz, valid, 0.  The A
-    # pad columns give transient headroom: a cell may briefly exceed its
-    # final count after the x or y pass (arrivals land before the later
-    # passes move them on).  Free slots fill front-first, so the pad is
-    # touched only on transient overflow; the fixup below re-places any
-    # pad occupants into the first K columns.  Invalid slots are parked
-    # at cell centers in BinnedState; the place kernel ADDS arrivals
-    # onto free slots, so their payload must be zero here (re-parked
-    # after the passes).
-    A = _mover_cols(K)
-    vf = st.valid.astype(f32)[:, None, :]
-    P = jnp.concatenate(
-        [
-            jnp.swapaxes(st.r, 1, 2) * vf,
-            jnp.swapaxes(st.p, 1, 2) * vf,
-            vf,
-            jnp.zeros((G, 1, K), f32),
-        ],
+    # 1. One per-row partition sort: [stayers | dead | movers].  An
+    # 8-operand lane sort costs ~3.5 ms at the bench shape — far
+    # cheaper than running the extract/place kernels over the full
+    # [G, 8, K] payload per axis (the A-term compaction is O(A * K)
+    # per cell; on the AT-column buffer it is O(A * AT)).  With the
+    # stayers compacted to a prefix, every column >= n_stay is free for
+    # arrivals once the movers depart — no capacity is stranded in the
+    # leavers' old slots.
+    key = jnp.where(mover, 2, jnp.where(st.valid, 0, 1)).astype(jnp.int32)
+    kcol = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :],
+                            (G, K))
+    out = jax.lax.sort(
+        (key, kcol,
+         st.r[..., 0], st.r[..., 1], st.r[..., 2],
+         st.p[..., 0], st.p[..., 1], st.p[..., 2]),
+        num_keys=2, dimension=1)
+    key_s = out[0]
+    planes = out[2:8]
+    stay = key_s == 0
+    n_stay = jnp.sum(stay, axis=1).astype(jnp.int32)
+
+    # 2. Mover buffer [G, 8, AT] from the row tails: channels rx, ry,
+    # rz, px, py, pz, valid, 0.  Rows with more than AT movers lose the
+    # excess (counted as dropped below; the CFL guard makes >AT leavers
+    # per cell a capacity fault, same class as K overflow).
+    bufv = (key_s[:, K - AT:] == 2).astype(f32)
+    buf = jnp.stack(
+        [pln[:, K - AT:] * bufv for pln in planes]
+        + [bufv, jnp.zeros_like(bufv)],
         axis=1,
     )
-    P = jnp.concatenate([P, jnp.zeros((G, 8, A), f32)], axis=2)
 
     if mesh is None:
         place = functools.partial(_place_pass, interpret=interpret)
     else:
         place = _shardmap_place(mesh, interpret)
 
-    for axis_ch, grid_axis, n_ax, stride in _axes(geom):
+    # 3. Dimension-split exchange on the buffer only.  Multi-axis
+    # movers ride the buffer through all passes; everything in the
+    # buffer is home after the z pass.
+    for axis_ch, grid_axis, n_ax, _stride in _axes(geom):
         if n_ax == 1:
             continue
         home = _home_coord(geom, axis_ch)[:, None]  # [G, 1] int32
@@ -374,29 +498,47 @@ def rebin_neighbor(st: BinnedState, geom: Geometry, *,
                                         n_ax=n_ax, interpret=interpret)
         else:
             extract = _shardmap_extract(mesh, axis_ch, n_ax, interpret)
-        P, up, dn = extract(P, home)
-        up = _roll_cells(up, geom, grid_axis, +1)
-        dn = _roll_cells(dn, geom, grid_axis, -1)
-        P = place(P, up, dn)
+        buf, up, dn = extract(buf, home)
+        up = _roll_cells(up, geom, grid_axis, +1, mesh=mesh,
+                         interpret=interpret)
+        dn = _roll_cells(dn, geom, grid_axis, -1, mesh=mesh,
+                         interpret=interpret)
+        buf = place(buf, up, dn)
 
-    # Fixup: pad-column occupants (transient overflow survivors) move
-    # into free slots of the first K columns; if none are free the row
-    # is genuinely over capacity and they count as dropped.
-    pad_buf = jnp.swapaxes(P[:, :, K:], 1, 2)  # [G, A, C]
-    pad_occupancy = jnp.sum(pad_buf[:, :, 6]).astype(jnp.int32)
-    P = jax.lax.cond(
-        pad_occupancy > 0,
-        lambda args: place(args[0], args[1], jnp.zeros_like(args[1])),
-        lambda args: args[0],
-        (P[:, :, :K], pad_buf),
-    )
+    # 4. Compact the arrivals (valid first, stable in buffer order —
+    # a deterministic function of the pre-pass state).
+    bcol = jnp.broadcast_to(jnp.arange(AT, dtype=jnp.int32)[None, :],
+                            (G, AT))
+    bkey = jnp.where(buf[:, 6, :] > 0.5, 0, 1).astype(jnp.int32)
+    bout = jax.lax.sort(
+        (bkey, bcol) + tuple(buf[:, c, :] for c in range(6)),
+        num_keys=2, dimension=1)
+    arr_ok = bout[0] == 0
+    arr = bout[2:8]
 
-    valid = P[:, 6, :] > 0.5
+    # 5. Static tail merge: arrival q -> column K-1-q, which the
+    # partition sort guarantees is free iff K-1-q >= n_stay (stayers
+    # are a prefix; everything after them is dead or departed).  Rows
+    # whose tail cannot hold every arrival drop the excess (counted).
+    qs = jnp.arange(AT, dtype=jnp.int32)[None, :]
+    ok = arr_ok & ((K - 1 - qs) >= n_stay[:, None])  # [G, AT]
+    okr = ok[:, ::-1]
     center = _cell_centers(geom, f32)
-    r = jnp.swapaxes(P[:, 0:3, :], 1, 2)
-    p = jnp.swapaxes(P[:, 3:6, :], 1, 2)
-    r = jnp.where(valid[..., None], r, center)
-    p = jnp.where(valid[..., None], p, 0.0)
+
+    r_stay = jnp.stack(planes[0:3], axis=-1)
+    p_stay = jnp.stack(planes[3:6], axis=-1)
+    r_stay = jnp.where(stay[..., None], r_stay, center)
+    p_stay = jnp.where(stay[..., None], p_stay, 0.0)
+    arr_r = jnp.stack(arr[0:3], axis=-1)[:, ::-1, :]
+    arr_p = jnp.stack(arr[3:6], axis=-1)[:, ::-1, :]
+    r = jnp.concatenate(
+        [r_stay[:, : K - AT],
+         jnp.where(okr[..., None], arr_r, r_stay[:, K - AT:])], axis=1)
+    p = jnp.concatenate(
+        [p_stay[:, : K - AT],
+         jnp.where(okr[..., None], arr_p, p_stay[:, K - AT:])], axis=1)
+    valid = jnp.concatenate(
+        [stay[:, : K - AT], stay[:, K - AT:] | okr], axis=1)
 
     counts = jnp.sum(valid, axis=1).astype(jnp.int32)
     n_after = jnp.sum(counts).astype(jnp.int32)

@@ -55,6 +55,14 @@ from ..solvers import gmres
 import os as _os
 
 _FORCE_PALLAS = _os.environ.get("XPIC_FORCE_PALLAS") == "1"
+# Mass-matrix strategy: "free" (default) never materializes matL — the
+# apply re-walks the cell-binned particles per solver iteration
+# (ops/mass_free.py; the assemble is a batched tiny-matmul that runs at
+# 0.4 TF/s on v5e, benchmarks/profile_roofcal.py, and its L blocks cost
+# 170 MB of HBM per write/read).  "blocks" restores the assembled
+# route.  The f64 parity path always assembles (golden tables were
+# validated against it and MatDump needs the blocks).
+_MASS_MODE = _os.environ.get("XPIC_MASS", "free")
 
 
 def _pallas_ok(dtype) -> bool:
@@ -62,6 +70,11 @@ def _pallas_ok(dtype) -> bool:
     # in 64-bit mode, so the fast route also requires x64 off.
     return (_FORCE_PALLAS and dtype == jnp.float32
             and not jax.config.jax_enable_x64)
+
+
+def _mass_free_ok(dtype) -> bool:
+    return (_MASS_MODE == "free" and dtype == jnp.float32
+            and not _FORCE_PALLAS)
 
 
 def _cell_spec(mesh):
@@ -118,8 +131,16 @@ def _pallas_interpret() -> bool:
 
 def fill_phase(B, st: BinnedState, t, geom: Geometry, *, q, m, mpw,
                mesh=None):
-    """currI deposit + matL blocks + the slot weights/B at the particles
-    (fill_ecsim_current, src/impls/ecsim/particles.cpp:33-173)."""
+    """currI deposit + the mass-matrix contribution + the slot weights/B
+    at the particles (fill_ecsim_current, src/impls/ecsim/particles.cpp:33-173).
+
+    Returns ``(currI, mass, W, B_p)``.  ``mass`` is the species' matL
+    contribution in whichever representation the active strategy uses:
+    the dense block array [G, 3, 12, 3, 12] (assembled routes), or a
+    ``(MassOp, trace)`` pair for the matrix-free f32 speed path
+    (ops/mass_free.py) — ``accumulate_mass`` folds either across
+    species and ``advance_phase`` dispatches on the representation.
+    """
     dt = geom.dt
     B_p = gather_vector(B, t, st.valid, geom, order=1, width=3, anchor=-1,
                         stagger=B_STAGGER)
@@ -137,28 +158,82 @@ def fill_phase(B, st: BinnedState, t, geom: Geometry, *, q, m, mpw,
                 interpret=_pallas_interpret(),
             )(t, st.p, B_p, st.valid)
         currI = deposit_slot_sums(Islot, geom)
-        W = None
-    else:
-        W = s1_slot_weights(t)
-        I_p, M = ecsim_particle_terms(B_p, st.p, st.valid,
-                                      q=q, m=m, mpw=mpw, dt=dt)
-        currI = deposit_slots(I_p, W, geom)
-        L = assemble_blocks(W, M)
-    return currI, L, W, B_p
+        return currI, L, None, B_p
+    if _mass_free_ok(B.dtype):
+        from ..ops.mass_free import (
+            deposit_vector_slots,
+            implicit_current,
+            mass_operands,
+            mass_trace,
+        )
+
+        I_p = implicit_current(B_p, st.p, st.valid, q=q, m=m, mpw=mpw,
+                               dt=dt)
+        currI = deposit_vector_slots(I_p, t, geom)
+        op = mass_operands(t, B_p, st.valid, q=q, m=m, mpw=mpw, dt=dt)
+        return currI, (op, mass_trace(op)), None, B_p
+    W = s1_slot_weights(t)
+    I_p, M = ecsim_particle_terms(B_p, st.p, st.valid,
+                                  q=q, m=m, mpw=mpw, dt=dt)
+    currI = deposit_slots(I_p, W, geom)
+    return currI, assemble_blocks(W, M), W, B_p
 
 
-def advance_phase(E, B, B0, currI, L, geom: Geometry, *, tol, maxit):
+def accumulate_mass(acc, mass):
+    """Fold one species' mass contribution into the running total:
+    dense blocks add; matrix-free ``(MassOp, trace)`` pairs collect into
+    ``((op, ...), trace_sum)``."""
+    if isinstance(mass, tuple):
+        op, tr = mass
+        if acc is None:
+            return ((op,), tr)
+        ops, tr_acc = acc
+        return (ops + (op,), tr_acc + tr)
+    return mass if acc is None else acc + mass
+
+
+def empty_mass(geom: Geometry, dtype):
+    """The zero mass contribution in the active representation (used by
+    the schemes when no species is loaded)."""
+    if _mass_free_ok(dtype) and not _pallas_ok(dtype):
+        return ((), jnp.zeros((), dtype))
+    return jnp.zeros((geom.n_cells, 3, 12, 3, 12), dtype)
+
+
+def advance_phase(E, B, B0, currI, mass, geom: Geometry, *, tol, maxit):
     """rhs = 2E - dt currI + dt curl-(B - B0); solve matA Ep = rhs
-    (advance_fields, src/impls/ecsim/simulation.cpp:191-278)."""
+    (advance_fields, src/impls/ecsim/simulation.cpp:191-278).
+
+    ``mass`` is the summed species contribution from
+    ``fill_phase``/``accumulate_mass``: dense matL blocks, or the
+    matrix-free ``((MassOp, ...), trace)`` form, in which case every
+    solver iteration re-walks the particles instead of reading L."""
     dt = geom.dt
     steps, bounds = geom.cell_steps, geom.bounds
     half_dt2 = 0.5 * dt * dt
+
+    if isinstance(mass, tuple):
+        from ..ops.mass_free import MassOp, mass_apply
+
+        ops, trace = mass
+        if isinstance(ops, MassOp):  # raw single-species fill result
+            ops = (ops,)
+
+        def matL(x):
+            return mass_apply(x, ops, geom) if ops else jnp.zeros_like(x)
+
+        trace_total = trace
+    else:
+        def matL(x):
+            return apply_blocks(mass, x, geom)
+
+        trace_total = None
 
     def matA(x):
         y = 2.0 * x + half_dt2 * curl_negative(
             curl_positive(x, steps, bounds), steps, bounds
         )
-        return y + apply_blocks(L, x, geom)
+        return y + matL(x)
 
     rhs = 2.0 * E - dt * currI + dt * curl_negative(B - B0, steps, bounds)
     from ..solvers.spectral import make_matM_preconditioner
@@ -166,7 +241,9 @@ def advance_phase(E, B, B0, currI, L, geom: Geometry, *, tol, maxit):
     P = make_matM_preconditioner(geom, dt, dtype=E.dtype)
     M_inv = None
     if P is not None:
-        shift = jnp.einsum("gcici->", L) / (3.0 * geom.n_cells)
+        if trace_total is None:
+            trace_total = jnp.einsum("gcici->", mass)
+        shift = trace_total / (3.0 * geom.n_cells)
         M_inv = lambda v: P(v, shift)  # noqa: E731
     # Initial guess rhs/2 = E - dt/2 J + dt/2 curl(B-B0): the explicit
     # first-order predictor of the half-step field (matA ~ 2I + O(dt^2)
@@ -181,7 +258,7 @@ def push_phase(Ep, st: BinnedState, t, W, B_p, geom: Geometry, *, qm,
                mesh=None):
     """Boris vEB with s1-interpolated fields at the already-moved
     positions (second_push, src/impls/ecsim/particles.cpp:175-196)."""
-    if W is None:
+    if W is None and _pallas_ok(Ep.dtype):
         from ..ops.ecsim_blocks import gather_slots
         from ..ops.pallas_ecsim import ecsim_gather_pallas
 
@@ -190,6 +267,10 @@ def push_phase(Ep, st: BinnedState, t, W, B_p, geom: Geometry, *, qm,
             E_p = ecsim_gather_pallas(t, Fg, interpret=_pallas_interpret())
         else:
             E_p = _shardmap_gather(mesh, _pallas_interpret())(t, Fg)
+    elif W is None:
+        from ..ops.mass_free import gather_vector_slots
+
+        E_p = gather_vector_slots(Ep, t, geom)
     else:
         E_p = gather_slot_fields(Ep, W, geom)
     E_p = jnp.where(st.valid[..., None], E_p, 0.0)
@@ -213,9 +294,10 @@ def ecsim_step_binned(E, B, B0, st: BinnedState, geom: Geometry,
 
     st = rebin(drift_state(st, geom), geom, mesh)
     t = cell_t(geom, st.r)
-    currI, L, W, B_p = fill_phase(B, st, t, geom, q=q, m=m, mpw=mpw,
-                                  mesh=mesh)
-    sol = advance_phase(E, B, B0, currI, L, geom, tol=tol, maxit=maxit)
+    currI, mass, W, B_p = fill_phase(B, st, t, geom, q=q, m=m, mpw=mpw,
+                                     mesh=mesh)
+    sol = advance_phase(E, B, B0, currI, accumulate_mass(None, mass),
+                        geom, tol=tol, maxit=maxit)
     Ep = sol.x
     st = push_phase(Ep, st, t, W, B_p, geom, qm=q / m, mesh=mesh)
 

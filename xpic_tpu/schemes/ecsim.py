@@ -39,7 +39,13 @@ from ..config import Geometry
 from ..ops.binning import BinnedState, _drift_impl, _rebin_core
 from ..ops.gather_scatter import cell_t
 from ..ops.stencil import curl_positive
-from ..parallel.step import advance_phase, fill_phase, push_phase
+from ..parallel.step import (
+    accumulate_mass,
+    advance_phase,
+    empty_mass,
+    fill_phase,
+    push_phase,
+)
 from .base import Simulation
 
 ATOL = 1e-7
@@ -145,10 +151,9 @@ class EcsimSimulation(Simulation):
             sp.currI = currI_s
             sp._cache = (t, W, B_p)
             self.currI = self.currI + currI_s
-            self._L = L_s if self._L is None else self._L + L_s
+            self._L = accumulate_mass(self._L, L_s)
         if self._L is None:
-            shape = (self.geom.n_cells, 3, 12, 3, 12)
-            self._L = jnp.zeros(shape)
+            self._L = empty_mass(self.geom, self.E.dtype)
 
     def advance_fields(self) -> None:
         self.Ep, its, rnorm, ok = _advance_fields(
