@@ -38,8 +38,13 @@ if not _NEEDS_REEXEC:
 
     jax.config.update("jax_enable_x64", True)
     # Compiles in this setup can be remote/slow; a persistent cache makes
-    # repeat test runs cheap.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/xpic_jax_cache")
+    # repeat test runs cheap.  Overridable so a suite run can use its
+    # own directory while a bench run owns /tmp/xpic_jax_cache —
+    # concurrent writers have produced a segfault in the zstd cache
+    # writer once.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("XPIC_TEST_CACHE_DIR", "/tmp/xpic_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 

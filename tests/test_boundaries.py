@@ -38,6 +38,49 @@ def test_open_boundary_drops():
     assert bool(out.alive[1])
 
 
+def test_reflective_clamps_and_flips_momentum():
+    """g_bound_reflective (src/interfaces/point.cpp:3-17): coordinate
+    clamps to the wall and that momentum component flips sign."""
+    from xpic_tpu.config import REFLECTIVE
+
+    geom = geom_with((PERIODIC, PERIODIC, REFLECTIVE))
+    sp = ParticleArrays(
+        r=jnp.asarray([[0.5, 0.5, 2.5], [0.5, 0.5, -0.2], [0.5, 0.5, 1.0]]),
+        p=jnp.asarray([[0.1, 0.2, 0.3], [0.1, 0.2, -0.3], [0.1, 0.2, 0.3]]),
+        alive=jnp.ones(3, bool),
+    )
+    out = apply_boundaries(sp, geom)
+    r, p = np.asarray(out.r), np.asarray(out.p)
+    assert bool(out.alive.all())
+    np.testing.assert_allclose(r[0, 2], 2.0)   # clamped to z = Lz
+    np.testing.assert_allclose(p[0, 2], -0.3)  # flipped
+    np.testing.assert_allclose(r[1, 2], 0.0)
+    np.testing.assert_allclose(p[1, 2], 0.3)
+    np.testing.assert_allclose(p[2], [0.1, 0.2, 0.3])  # interior untouched
+
+
+def test_reflective_binned_drift():
+    """The fused drift applies the same reflective map (ops/binning)."""
+    from xpic_tpu.config import REFLECTIVE
+    from xpic_tpu.ops.binning import bin_state, _drift_impl
+
+    geom = Geometry(dx=0.5, dy=0.5, dz=0.5, dt=1.0, nx=4, ny=4, nz=4,
+                    nt=1, bounds=(PERIODIC, PERIODIC, REFLECTIVE))
+    sp = ParticleArrays(
+        r=jnp.asarray([[0.5, 0.5, 1.9]]),
+        p=jnp.asarray([[0.0, 0.0, 0.2]]),  # drifts to z=2.1 > Lz
+        alive=jnp.ones(1, bool),
+    )
+    st = _drift_impl(bin_state(sp, geom, 4), geom)
+    k = int(jnp.argmax(st.valid.reshape(-1)))
+    r = np.asarray(st.r.reshape(-1, 3))[k]
+    p = np.asarray(st.p.reshape(-1, 3))[k]
+    # grid units: z clamped to nz = 4 cells, momentum flipped
+    np.testing.assert_allclose(r[2], 4.0)
+    np.testing.assert_allclose(p[2], -0.2)
+    assert int(st.valid.sum()) == 1
+
+
 def test_ghosted_stencil_zero_fill():
     """Non-periodic axes read zeros outside the domain (the analog of
     the reference's remap dropping out-of-range entries,

@@ -162,6 +162,29 @@ def test_ecsim_step_decomposition_invariance():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_ecsim_step_f32_fast_paths_decomposition_invariance():
+    """The f32 speed paths (matrix-free mass apply + the neighbor
+    rebin's buffer exchange) are GSPMD-partitionable: 1-device vs
+    8-device meshed steps agree to f32 solver noise."""
+    E, B, B0, sp = make_state()
+    f32 = jnp.float32
+    E, B, B0 = E.astype(f32), B.astype(f32), B0.astype(f32)
+    sp = type(sp)(r=sp.r.astype(f32), p=sp.p.astype(f32), alive=sp.alive)
+    args = dict(geom=GEOM, slots=16, q=-1.0, m=1.0, mpw=0.25, maxit=50)
+
+    E1, B1, sp1, c1, _ = ecsim_step(E, B, B0, sp, **args)
+
+    mesh = pm.make_mesh(8)
+    Es, Bs, B0s = pm.shard_fields(mesh, E, B, B0)
+    sps = pm.shard_particles(mesh, sp)
+    E8, B8, sp8, c8, _ = ecsim_step(Es, Bs, B0s, sps, **args, mesh=mesh)
+
+    np.testing.assert_allclose(np.asarray(E1), np.asarray(E8), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(B1), np.asarray(B8), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c8), atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_neighbor_rebin_shardmap_matches_global():
     """The Pallas neighbor migration under shard_map on the 8-device
     mesh reproduces the global sort exactly (VERDICT r2 item 7: the

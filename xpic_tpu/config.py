@@ -23,17 +23,24 @@ import math
 from typing import Any, Mapping, Sequence
 
 # Boundary kinds (reference: DM_BOUNDARY_* parsing in
-# src/utils/configuration.cpp:88-116).
+# src/utils/configuration.cpp:88-116).  REFLECTIVE maps particles with
+# the reference's g_bound_reflective (clamp + momentum flip,
+# src/interfaces/point.cpp:3-17); fields see it as zero-filled ghosts,
+# like GHOSTED.
 PERIODIC = "periodic"
 GHOSTED = "ghosted"
+REFLECTIVE = "reflective"
 NONE = "none"
 
 _BOUNDARY_ALIASES = {
     "DM_BOUNDARY_PERIODIC": PERIODIC,
     "DM_BOUNDARY_GHOSTED": GHOSTED,
+    "DM_BOUNDARY_REFLECTIVE": REFLECTIVE,
     "DM_BOUNDARY_NONE": NONE,
     "periodic": PERIODIC,
     "ghosted": GHOSTED,
+    "reflective": REFLECTIVE,
+    "reflect": REFLECTIVE,
     "none": NONE,
 }
 
@@ -103,7 +110,7 @@ class Geometry:
         if min(self.nx, self.ny, self.nz) < 1 or self.nt < 0:
             raise ValueError("grid extents must be positive")
         for b in self.bounds:
-            if b not in (PERIODIC, GHOSTED, NONE):
+            if b not in (PERIODIC, GHOSTED, REFLECTIVE, NONE):
                 raise ValueError(f"unknown boundary kind {b!r}")
 
 

@@ -17,7 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..config import PERIODIC, Geometry
+from ..config import PERIODIC, REFLECTIVE, Geometry
 from ..particles import ParticleArrays, cell_ids
 
 
@@ -407,7 +407,7 @@ def _rebin_neighbor_guarded(st: BinnedState, geom: Geometry, mesh=None):
     when any live slot moved more than one cell along an axis (the
     reference's 26-neighbor exchange has the same reach,
     src/interfaces/particles.cpp:118-248)."""
-    from .neighbor_rebin import far_mover_count, rebin_neighbor
+    from .neighbor_rebin import neighbor_guard_stats, rebin_neighbor
 
     # f32 data AND x64 mode off: Mosaic on the current TPU toolchain
     # cannot legalize kernels traced with 64-bit index types (measured:
@@ -419,16 +419,14 @@ def _rebin_neighbor_guarded(st: BinnedState, geom: Geometry, mesh=None):
             or (mesh is None and len(jax.devices()) > 1)):
         return _rebin_global(st, geom)
     interp = _pallas_interpret()
-    # One pass over the state yields both the guard condition and the
+    # One pass over the state yields both the guard condition (far
+    # movers, per-cell and per-direction buffer overflow) and the
     # exchange statistics the neighbor path reports (XLA fuses the
     # reductions; recomputing them inside rebin_neighbor would read the
     # full payload a second time).
-    ids = state_cell_ids(st, geom)
-    home_flat = jnp.arange(st.valid.shape[0], dtype=jnp.int32)[:, None]
-    moved = jnp.sum(st.valid & (ids != home_flat)).astype(jnp.int32)
-    n_before = jnp.sum(st.valid).astype(jnp.int32)
+    ok, moved, n_before = neighbor_guard_stats(st, geom)
     return jax.lax.cond(
-        far_mover_count(st, geom) == 0,
+        ok,
         lambda s: rebin_neighbor(s, geom, mesh=mesh, interpret=interp,
                                  stats=(moved, n_before)),
         lambda s: _rebin_global(s, geom),
@@ -512,18 +510,22 @@ def rebin_overflow(st: BinnedState, geom: Geometry) -> jax.Array:
 def _drift_impl(st: BinnedState, geom: Geometry, dt: float | None = None
                 ) -> BinnedState:
     """r += v dt in grid units, with the global coordinate boundaries
-    (periodic wrap / open kill) applied (interfaces/point.cpp:3-26)."""
+    (periodic wrap / reflective clamp+flip / open kill) applied
+    (interfaces/point.cpp:3-26)."""
     d = jnp.asarray(geom.cell_steps, st.r.dtype)
     n = jnp.asarray([geom.nx, geom.ny, geom.nz], st.r.dtype)
     dt = geom.dt if dt is None else dt
     r = st.r + st.p * (dt / d)
     per = jnp.asarray([b == PERIODIC for b in geom.bounds])
+    refl = jnp.asarray([b == REFLECTIVE for b in geom.bounds])
     r_wrap = jnp.where(r < 0.0, r + n, jnp.where(r > n, r - n, r))
     r_wrap = jnp.clip(r_wrap, 0.0, n)
     out = (r < 0.0) | (r > n)
     r_new = jnp.where(per[None, None, :], r_wrap, jnp.clip(r, 0.0, n))
-    dead = jnp.any(out & ~per[None, None, :], axis=-1)
-    return BinnedState(r=r_new, p=st.p, valid=st.valid & ~dead)
+    p_new = jnp.where(refl[None, None, :] & out, -st.p, st.p)
+    dead = jnp.any(out & ~per[None, None, :] & ~refl[None, None, :],
+                   axis=-1)
+    return BinnedState(r=r_new, p=p_new, valid=st.valid & ~dead)
 
 
 drift_state = partial(jax.jit, static_argnames=("geom",),

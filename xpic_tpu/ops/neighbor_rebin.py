@@ -76,10 +76,16 @@ def _pick_block(G: int, want: int = 64) -> int:
 
 
 def _mover_cols(K: int) -> int:
-    """Mover-buffer columns per direction (A).  Thermal CFL-guarded runs
-    move only a few percent of a cell's slots per axis per direction;
-    16 columns is ~4x the Poisson tail at 100 ppc."""
-    return max(16, -(-K // 8) // 8 * 8)
+    """Mover-buffer columns per direction (A).  The extract/place
+    kernels are A-term unrolled select-accumulates whose cost is
+    independent of the lane count (sub-128-lane vectors burn a full
+    register either way), so A is the knob that sets their price.
+    8 covers the per-axis-per-direction Poisson tail at the bench
+    shape; the guard in ``binning._rebin_neighbor_guarded`` counts the
+    actual per-direction maxima and falls back to the global sort when
+    a step would overflow, so a hot cell costs one slow step instead of
+    dropped particles."""
+    return 8
 
 
 def _buffer_cols(K: int) -> int:
@@ -332,14 +338,14 @@ def _roll_cells(Abuf, geom: Geometry, grid_axis: int, shift: int,
     G, A, C = Abuf.shape
     AC = A * C
     plane_bytes = geom.ny * geom.nx * AC * Abuf.dtype.itemsize
-    # Mosaic wants (sublane % 8, lane % 128) blocks: the z path views
-    # rows as [ny*nx*AC/128, 128], the x/y paths roll nx- / ny-row
-    # groups on sublanes.  Odd-shaped (test-sized) grids fall back.
+    # Mosaic wants (sublane % 8, lane % 128) blocks — or a lane dim that
+    # equals the full array dim, which the x/y sublane rolls use.  The z
+    # path views rows as [ny*nx*AC/128, 128].  Odd-shaped (test-sized)
+    # grids fall back to jnp.roll.
     pallas_ok = (
         mesh is None
-        and AC % 128 == 0
         and not (grid_axis <= 1 and plane_bytes > 4 << 20)
-        and not (grid_axis == 0 and (geom.ny * geom.nx * AC // 128) % 8)
+        and not (grid_axis == 0 and (geom.ny * geom.nx * AC) % 1024)
         and not (grid_axis == 1 and geom.ny % 8)
         and not (grid_axis == 2 and geom.nx % 8)
     )
@@ -373,6 +379,41 @@ def far_mover_count(st: BinnedState, geom: Geometry) -> jnp.ndarray:
         near = (d <= 1) | (d >= n - 1)
         total = total + jnp.sum(st.valid & ~near).astype(jnp.int32)
     return total
+
+
+def neighbor_guard_stats(st: BinnedState, geom: Geometry):
+    """One pass over the state yielding everything the neighbor-path
+    guard and the exchange statistics need: ``(neighbor_ok, moved,
+    n_before)``.  ``neighbor_ok`` requires every live slot to move at
+    most one cell per axis, at most ``_buffer_cols`` leavers per cell,
+    and at most ``_mover_cols`` per cell per axis per direction — any
+    violation routes the step to the global sort instead of dropping
+    particles."""
+    G, K = st.valid.shape
+    from .binning import state_cell_ids
+
+    ids = state_cell_ids(st, geom)
+    home_flat = jnp.arange(G, dtype=jnp.int32)[:, None]
+    mover = st.valid & (ids != home_flat)
+    moved = jnp.sum(mover).astype(jnp.int32)
+    n_before = jnp.sum(st.valid).astype(jnp.int32)
+    ok = jnp.max(jnp.sum(mover, axis=1)) <= _buffer_cols(K)
+
+    A = _mover_cols(K)
+    for axis, _grid, n, _s in _axes(geom):
+        if n == 1:
+            continue
+        c = jnp.clip(jnp.floor(st.r[..., axis]).astype(jnp.int32), 0, n - 1)
+        home = _home_coord(geom, axis).reshape(G, 1)
+        d = jnp.abs(c - home)
+        far = st.valid & ~((d <= 1) | (d >= n - 1))
+        ok &= jnp.sum(far) == 0
+        plus = st.valid & (c == jnp.where(home + 1 == n, 0, home + 1))
+        ok &= jnp.max(jnp.sum(plus, axis=1)) <= A
+        if n > 2:
+            minus = st.valid & (c == jnp.where(home == 0, n - 1, home - 1))
+            ok &= jnp.max(jnp.sum(minus, axis=1)) <= A
+    return ok, moved, n_before
 
 
 def _cell_partition_spec(mesh):

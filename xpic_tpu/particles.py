@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import Geometry, SortParameters, PERIODIC
+from .config import Geometry, SortParameters, PERIODIC, REFLECTIVE
 
 
 @jax.tree_util.register_dataclass
@@ -168,16 +168,17 @@ def apply_boundaries(sp: ParticleArrays, geom: Geometry) -> ParticleArrays:
     """Apply global coordinate boundaries to all particles.
 
     Periodic axes wrap by one period (``g_bound_periodic``,
-    src/interfaces/point.cpp:19-26).  On non-periodic axes the
-    reference's ``update_cells`` silently erases particles that leave
-    the local domain (src/interfaces/particles.cpp:100-105); here they
+    src/interfaces/point.cpp:19-26).  Reflective axes clamp the
+    coordinate to the wall and flip that momentum component
+    (``g_bound_reflective``, point.cpp:3-17).  On the remaining kinds
+    the reference's ``update_cells`` silently erases particles that
+    leave the domain (src/interfaces/particles.cpp:100-105); here they
     are marked dead, which conserves the array shape.
-    (``g_bound_reflective`` exists in the reference but is unused by
-    any scheme.)
     """
     L = jnp.asarray(geom.L, dtype=sp.r.dtype)
     r = sp.r
     per = jnp.asarray([b == PERIODIC for b in geom.bounds])
+    refl = jnp.asarray([b == REFLECTIVE for b in geom.bounds])
 
     # Single-pass wrap (reference adds/subtracts one period,
     # point.cpp:19-25); clip guards roundoff at the edges.
@@ -186,9 +187,10 @@ def apply_boundaries(sp: ParticleArrays, geom: Geometry) -> ParticleArrays:
 
     out = (r < 0.0) | (r > L)
     r_new = jnp.where(per[None, :], r_wrapped, jnp.clip(r, 0.0, L))
-    dead = jnp.any(out & ~per[None, :], axis=1)
+    p_new = jnp.where(refl[None, :] & out, -sp.p, sp.p)
+    dead = jnp.any(out & ~per[None, :] & ~refl[None, :], axis=1)
     alive = sp.alive & ~dead
-    return ParticleArrays(r=r_new, p=sp.p, alive=alive)
+    return ParticleArrays(r=r_new, p=p_new, alive=alive)
 
 
 def kinetic_energy(sp: ParticleArrays, params: SortParameters) -> jax.Array:
