@@ -81,6 +81,57 @@ def test_eccapfim_conservation(tmp_path):
     assert np.all(n2 < 1e-9)
 
 
+def test_eccapfim_two_species_per_species_continuity(tmp_path):
+    """Per-species charge-conservation columns must be species-local.
+
+    The reference keeps a per-species current J (src/interfaces/
+    particles.h:20) and the N1dQ_*/N2dQ_* columns compare each species'
+    own d(rho_s)/dt against div J_s.  A bug that assigns the *summed*
+    current to every species passes any single-species config but makes
+    every per-species continuity norm O(|J_other|) here, where positrons
+    and electrons carry opposite currents.
+    """
+    particles_load.seed(557)
+    cfg = make_config(tmp_path)
+    doc = dict(cfg.raw)
+    doc["Particles"] = [
+        {"sort_name": "electrons", "Np": 20, "n": 1.0, "q": -1.0,
+         "m": 1.0, "T": 0.1},
+        {"sort_name": "positrons", "Np": 20, "n": 1.0, "q": 1.0,
+         "m": 1.0, "T": 0.1},
+    ]
+    doc["Presets"] = [
+        {
+            "command": "SetParticles",
+            "particles": name,
+            "coordinate": {"name": "CoordinateInBox"},
+            "momentum": {"name": "MaxwellianMomentum", "tov": True},
+        }
+        for name in ("electrons", "positrons")
+    ]
+    cfg = Config.from_json(doc)
+    sim = build_simulation(cfg)
+    sim.initialize()
+    sim.calculate()
+    sim.finalize()
+
+    out = sim.cfg.out_dir
+    ch, crows = read_table(
+        os.path.join(out, "temporal", "charge_conservation.txt")
+    )
+    for name in ("electrons", "positrons", "tot"):
+        # Column titles are truncated to their 13-char width, matching
+        # the reference's fixed-width TableDiagnostic layout.
+        n2 = crows[1:, ch.index(("N2dQ_" + name)[:13])]
+        assert np.all(n2 < 1e-9), f"continuity violated for {name}: {n2}"
+    # The two species genuinely carry distinct, nonzero currents.
+    Je = np.asarray(sim.species[0].J)
+    Jp = np.asarray(sim.species[1].J)
+    assert np.linalg.norm(Je) > 1e-12 and np.linalg.norm(Jp) > 1e-12
+    assert np.linalg.norm(Je - Jp) > 1e-12
+    assert np.allclose(Je + Jp, np.asarray(sim.J), atol=1e-12)
+
+
 def test_eccapfim_fast_particle_is_flagged(tmp_path):
     """A particle moving >= 1 cell/axis/dt must be rejected loudly, never
     silently lose charge (the reference sub-steps arbitrary crossings

@@ -229,7 +229,10 @@ class EccapfimSimulation(Simulation):
                 sp.params.qm, sp.params.q * sp.params.n_Np,
             )
             J = J + J_s
-            self._pending_state.append((r_new_g, pn))
+            # Keep the per-species current: the reference stores J per
+            # species (src/interfaces/particles.h:20) and the
+            # charge-conservation columns are species-local.
+            self._pending_state.append((r_new_g, pn, J_s))
             sp.cn_iterations = float(avg_it)
             self._max_disp = jnp.maximum(self._max_disp, max_disp)
             self._nonconv = self._nonconv + nonconv.astype(jnp.int32)
@@ -332,11 +335,11 @@ class EccapfimSimulation(Simulation):
             if pending is None:
                 sp.J = jnp.zeros_like(self.J)
                 continue
-            r_new_g, pn = pending
+            r_new_g, pn, J_s = pending
             sp.state, load = _commit_state(
                 BinnedState(r=r_new_g, p=pn, valid=sp.state.valid), geom,
                 self.mesh,
             )
-            sp.J = self._J_last
+            sp.J = J_s
             self.check_load(sp, load)
         self.refresh_counts()
