@@ -219,3 +219,118 @@ def test_neighbor_invalid_slots_hold_centers():
     bad = ~v[..., None] & (r != centers[:, None, :])
     assert not bad.any()
     assert np.all(np.asarray(s_nb.p)[~v] == 0.0)
+
+
+def test_guarded_dispatcher_takes_neighbor_branch(monkeypatch):
+    """Under the suite config (x64 + CPU) the guarded dispatcher must
+    actually run the neighbor exchange in interpret mode — not compare
+    the global sort against itself (round-3 advisor medium finding:
+    the rewritten exchange shipped with zero CI coverage)."""
+    from xpic_tpu.ops import neighbor_rebin as NR
+
+    calls = []
+    real = NR.rebin_neighbor
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(NR, "rebin_neighbor", spy)
+
+    geom = Geometry(dx=0.5, dy=0.5, dz=0.5, dt=1.5, nx=8, ny=6, nz=4, nt=1)
+    st = B._drift_impl(_state32(geom, vth=0.01, seed=7), geom)
+    ok, _, _ = NR.neighbor_guard_stats(st, geom)
+    assert bool(ok)
+    s_raw, l_raw = real(st, geom, interpret=True)
+    assert int(l_raw[1]) == 0
+
+    s_g, l_g = B._rebin_neighbor_guarded(st, geom)
+    assert calls, "dispatcher skipped the neighbor path entirely"
+    # The guarded output is bitwise the raw neighbor output (stayer
+    # prefix + tail-merged arrivals), not the global sort's compacted
+    # rows — proof the cond took the neighbor branch at runtime.
+    assert np.array_equal(np.asarray(s_g.valid), np.asarray(s_raw.valid))
+    assert np.array_equal(np.asarray(s_g.r), np.asarray(s_raw.r))
+    assert np.array_equal(np.asarray(s_g.p), np.asarray(s_raw.p))
+    s_glob, _ = B._rebin_global(st, geom)
+    assert _cell_sets(s_g, geom) == _cell_sets(s_glob, geom)
+
+
+def test_guarded_recovers_from_transit_overflow():
+    """Round-3 advisor high finding: the per-origin pre-guard passes but
+    a cell's mover buffer overflows mid-exchange from movers in transit
+    out of up to 3 neighboring source cells.  The dropped-count
+    post-check must reroute the step to the global sort (one slow step)
+    instead of losing particles and crashing a CFL-respecting run.
+
+    Construction (dt=1, dx=1, K=40 so AT=16, A=8): target cell T gets
+    8 resident movers (+y only; they sit in T's buffer through the x
+    pass) plus 8 arrivals from T-x (moving +x,+y) and 8 from T+x
+    (moving -x,+y) — per-origin counts all within bounds, but T's
+    buffer holds 24 > AT = 16 after the x pass."""
+    from xpic_tpu.ops import neighbor_rebin as NR
+
+    geom = Geometry(dx=1.0, dy=1.0, dz=1.0, dt=1.0, nx=8, ny=6, nz=4, nt=1)
+    tx, ty, tz = 4, 2, 1
+    rows, vels = [], []
+    for x0, vx in ((tx, 0.0), (tx - 1, 1.0), (tx + 1, -1.0)):
+        for k in range(8):
+            rows.append([x0 + 0.5, ty + 0.3 + 0.02 * k, tz + 0.5])
+            vels.append([vx, 1.0, 0.0])
+    sp = ParticleArrays(
+        r=jnp.asarray(np.array(rows), jnp.float32),
+        p=jnp.asarray(np.array(vels), jnp.float32),
+        alive=jnp.ones(len(rows), bool),
+    )
+    st = B._drift_impl(B.bin_state(sp, geom, 40), geom)
+
+    ok, _, _ = NR.neighbor_guard_stats(st, geom)
+    assert bool(ok), "pre-guard must pass: all origin-cell counts are in bounds"
+    _, l_raw = NR.rebin_neighbor(st, geom, interpret=True)
+    assert int(l_raw[1]) > 0, "raw exchange must exhibit the transit overflow"
+
+    s_g, l_g = B._rebin_neighbor_guarded(st, geom)
+    s_glob, l_glob = B._rebin_global(st, geom)
+    assert int(l_g[1]) == 0
+    assert [int(v) for v in np.asarray(l_g)] == \
+           [int(v) for v in np.asarray(l_glob)]
+    assert _cell_sets(s_g, geom) == _cell_sets(s_glob, geom)
+
+
+def test_full_axis_traversal_is_far_on_nonperiodic_axes():
+    """A d == n-1 move is a one-cell wrap only on periodic axes; on a
+    reflective axis it must be classified far (global-sort path), never
+    periodic-wrapped by the extract kernel (round-3 advisor finding)."""
+    import dataclasses
+
+    from xpic_tpu.ops import neighbor_rebin as NR
+
+    for bounds, far_expected in (
+        (("reflective", "periodic", "periodic"), True),
+        (("periodic", "periodic", "periodic"), False),
+    ):
+        geom = Geometry(dx=1.0, dy=1.0, dz=1.0, dt=1.0, nx=6, ny=4, nz=4,
+                        nt=1, bounds=bounds)
+        sp = ParticleArrays(
+            r=jnp.asarray([[0.5, 1.5, 1.5]], jnp.float32),
+            p=jnp.zeros((1, 3), jnp.float32),
+            alive=jnp.ones(1, bool),
+        )
+        st = B.bin_state(sp, geom, 8)
+        # Teleport the particle across the whole x axis without drifting
+        # (unreachable under CFL motion, but reflective walls keep such
+        # states alive where open bounds killed them).
+        r2 = st.r.at[:, :, 0].set(
+            jnp.where(st.valid, geom.nx - 0.5, st.r[:, :, 0]))
+        st2 = dataclasses.replace(st, r=r2)
+        far = int(NR.far_mover_count(st2, geom))
+        ok, _, _ = NR.neighbor_guard_stats(st2, geom)
+        if far_expected:
+            assert far > 0 and not bool(ok)
+        else:
+            assert far == 0 and bool(ok)
+        s_g, l_g = B._rebin_neighbor_guarded(st2, geom)
+        s_glob, l_glob = B._rebin_global(st2, geom)
+        assert [int(v) for v in np.asarray(l_g)] == \
+               [int(v) for v in np.asarray(l_glob)]
+        assert _cell_sets(s_g, geom) == _cell_sets(s_glob, geom)

@@ -403,35 +403,66 @@ def _pallas_interpret() -> bool:
 
 
 def _rebin_neighbor_guarded(st: BinnedState, geom: Geometry, mesh=None):
-    """Neighbor exchange with an in-graph fallback to the global sort
-    when any live slot moved more than one cell along an axis (the
-    reference's 26-neighbor exchange has the same reach,
-    src/interfaces/particles.cpp:118-248)."""
+    """Neighbor exchange with two in-graph fallbacks to the global sort
+    (the reference's 26-neighbor exchange has the same reach,
+    src/interfaces/particles.cpp:118-248):
+
+    * **pre-guard** — any live slot moved more than one cell along an
+      axis, or an origin cell's mover counts already exceed the buffer
+      capacities (``neighbor_guard_stats``);
+    * **post-check** — the exchange reported ``dropped > 0``.  Between
+      the axis passes a cell's buffer also carries movers in transit
+      from neighboring source cells, so transit occupancy can overflow
+      even when every origin-cell count passes the pre-guard.  Every
+      overflow mode of the exchange *loses* slots (extract keeps at
+      most A per direction, place fills only free columns, the tail
+      merge drops beyond-capacity arrivals — nothing is misplaced), so
+      ``dropped > 0`` detects all of them exactly and the step reruns
+      through the global sort: one slow step instead of lost
+      particles.  Genuine K-capacity overflow reappears as the global
+      sort's own ``dropped`` and still raises in the schemes.
+    """
     from .neighbor_rebin import neighbor_guard_stats, rebin_neighbor
 
-    # f32 data AND x64 mode off: Mosaic on the current TPU toolchain
-    # cannot legalize kernels traced with 64-bit index types (measured:
-    # even a trivial pallas_call fails under jax_enable_x64).  Under a
-    # mesh the kernels run per-shard via shard_map (pl.pallas_call has
-    # no SPMD rule); without an explicit mesh, multi-device processes
-    # keep the global sort.
-    if (st.r.dtype != jnp.float32 or jax.config.jax_enable_x64
-            or (mesh is None and len(jax.devices()) > 1)):
-        return _rebin_global(st, geom)
     interp = _pallas_interpret()
-    # One pass over the state yields both the guard condition (far
-    # movers, per-cell and per-direction buffer overflow) and the
-    # exchange statistics the neighbor path reports (XLA fuses the
+    # Mosaic on the current TPU toolchain cannot legalize kernels traced
+    # under jax_enable_x64 (64-bit index types; measured: even a trivial
+    # pallas_call fails) — but the interpreter can, which is what gives
+    # the CPU test suite real coverage of this path.  Under a mesh the
+    # kernels run per-shard via shard_map (pl.pallas_call has no SPMD
+    # rule); without an explicit mesh, multi-device processes keep the
+    # global sort.
+    multi_dev = mesh is None and len(jax.devices()) > 1
+    if multi_dev:
+        # Eager calls carry concrete placement: a state living on one
+        # device is safe for the no-mesh Pallas path even when more
+        # devices exist (the 8-virtual-device test config).  Tracers
+        # (production jit) keep the conservative device-count check.
+        try:
+            multi_dev = len(st.r.sharding.device_set) > 1
+        except Exception:
+            pass
+    if (st.r.dtype != jnp.float32
+            or (jax.config.jax_enable_x64 and not interp)
+            or multi_dev):
+        return _rebin_global(st, geom)
+    # One pass over the state yields both the pre-guard condition and
+    # the exchange statistics the neighbor path reports (XLA fuses the
     # reductions; recomputing them inside rebin_neighbor would read the
     # full payload a second time).
     ok, moved, n_before = neighbor_guard_stats(st, geom)
-    return jax.lax.cond(
-        ok,
-        lambda s: rebin_neighbor(s, geom, mesh=mesh, interpret=interp,
-                                 stats=(moved, n_before)),
-        lambda s: _rebin_global(s, geom),
-        st,
-    )
+
+    def _attempt(s):
+        res, load = rebin_neighbor(s, geom, mesh=mesh, interpret=interp,
+                                   stats=(moved, n_before))
+        return jax.lax.cond(
+            load[1] > 0,
+            lambda s2: _rebin_global(s2, geom),
+            lambda _s2: (res, load),
+            s,
+        )
+
+    return jax.lax.cond(ok, _attempt, lambda s: _rebin_global(s, geom), st)
 
 
 def _rebin_core(st: BinnedState, geom: Geometry, mesh=None):

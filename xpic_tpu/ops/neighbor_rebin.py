@@ -42,10 +42,17 @@ touch the *movers*, never the full payload:
 
 Anything faster than one cell per axis per step falls back to the
 global sort via ``lax.cond`` (the caller counts such "far movers"
-first); capacity overflow (a cell with more than AT leavers, more
-per-direction movers than A, or a destination tail too full) surfaces
-as ``dropped`` in the load vector, which the schemes already treat as
-a hard error.
+first).  Capacity overflow — a cell with more than AT leavers, more
+per-direction movers than A *at any axis stage* (a cell's buffer also
+carries movers in transit from neighboring source cells between the
+passes, so transit occupancy can exceed the origin-cell counts), or a
+destination tail too full — surfaces as ``dropped`` in the load
+vector.  Every failure mode of the exchange *loses* slots (extract
+keeps at most A per direction, place fills only free columns, the
+tail merge drops beyond-capacity arrivals; nothing is ever
+overwritten or misplaced), so ``dropped > 0`` is a complete overflow
+detector: ``binning._rebin_neighbor_guarded`` reruns the step through
+the global sort in that case instead of dropping particles.
 
 Determinism: the partition sort, the buffer passes, and the tail merge
 are all keyed by (class, slot index) — a pure function of the pre-pass
@@ -81,10 +88,12 @@ def _mover_cols(K: int) -> int:
     independent of the lane count (sub-128-lane vectors burn a full
     register either way), so A is the knob that sets their price.
     8 covers the per-axis-per-direction Poisson tail at the bench
-    shape; the guard in ``binning._rebin_neighbor_guarded`` counts the
-    actual per-direction maxima and falls back to the global sort when
-    a step would overflow, so a hot cell costs one slow step instead of
-    dropped particles."""
+    shape.  Overflow (possible even for CFL-respecting motion, since
+    transit occupancy between the axis passes can exceed a cell's own
+    mover count) is never silent: it shows up as ``dropped`` in the
+    load vector and ``binning._rebin_neighbor_guarded`` then reruns
+    the step through the global sort, so a hot cell costs one slow
+    step instead of dropped particles."""
     return 8
 
 
@@ -278,8 +287,8 @@ def _roll_outer_pallas(V, shift: int, interpret: bool = False):
     """[n, R] rolled along axis 0 by a pure block copy with a shifted
     index map — each grid step DMAs row (i - shift) mod n to row i.
     The row is viewed [S, 128] to satisfy Mosaic's (8, 128) block
-    tiling (R is a multiple of 1024 by construction: ny*nx*A*C with
-    A*C = 128)."""
+    tiling (the caller checks ny*nx*A*C % 1024 == 0 and falls back to
+    jnp.roll otherwise)."""
     n, R = V.shape
     S = R // 128
     V3 = V.reshape(n, S, 128)
@@ -326,8 +335,8 @@ def _roll_cells(Abuf, geom: Geometry, grid_axis: int, shift: int,
                 *, mesh=None, interpret: bool = False):
     """Roll a [G, A, C] mover buffer by ``shift`` cells along one
     spatial axis of the [nz, ny, nx] cell grid.  The buffer is viewed
-    as [..., A*C] so the rolled lane dimension is dense (A*C = 128 for
-    the default 16 columns x 8 channels).
+    as [..., A*C] so the rolled lane dimension is dense (A*C = 64 for
+    the default 8 columns x 8 channels).
 
     Under a mesh the jnp.roll form is kept: GSPMD turns it into the
     halo collective-permute that carries movers across shards.
@@ -368,7 +377,13 @@ def _roll_cells(Abuf, geom: Geometry, grid_axis: int, shift: int,
 
 def far_mover_count(st: BinnedState, geom: Geometry) -> jnp.ndarray:
     """Number of live slots whose move exceeds one cell along any axis
-    (these need the global-sort migration path)."""
+    (these need the global-sort migration path).  A ``d == n-1`` move
+    is a one-cell wrap only on PERIODIC axes; on reflective/open axes
+    such a traversal (practically unreachable under the CFL guard) is
+    classified far so the extract kernel's unconditional wrap never
+    applies to it."""
+    from ..config import PERIODIC
+
     total = jnp.zeros((), jnp.int32)
     for axis, _, n, _s in _axes(geom):
         if n == 1:
@@ -376,19 +391,30 @@ def far_mover_count(st: BinnedState, geom: Geometry) -> jnp.ndarray:
         c = jnp.clip(jnp.floor(st.r[..., axis]).astype(jnp.int32), 0, n - 1)
         home = _home_coord(geom, axis).reshape(st.valid.shape[0], 1)
         d = jnp.abs(c - home)
-        near = (d <= 1) | (d >= n - 1)
+        near = d <= 1
+        if geom.bounds[axis] == PERIODIC:
+            near |= d >= n - 1
         total = total + jnp.sum(st.valid & ~near).astype(jnp.int32)
     return total
 
 
 def neighbor_guard_stats(st: BinnedState, geom: Geometry):
-    """One pass over the state yielding everything the neighbor-path
-    guard and the exchange statistics need: ``(neighbor_ok, moved,
-    n_before)``.  ``neighbor_ok`` requires every live slot to move at
-    most one cell per axis, at most ``_buffer_cols`` leavers per cell,
-    and at most ``_mover_cols`` per cell per axis per direction — any
-    violation routes the step to the global sort instead of dropping
-    particles."""
+    """One pass over the state yielding the neighbor-path *pre*-guard
+    and the exchange statistics: ``(neighbor_ok, moved, n_before)``.
+
+    ``neighbor_ok`` enforces the exchange's correctness precondition —
+    every live slot moves at most one cell per axis (a ``d == n-1``
+    wrap counts as one cell only on PERIODIC axes) — plus two cheap
+    capacity rejections computable in this same pass: per-cell leavers
+    <= ``_buffer_cols`` and per-cell per-axis per-direction origin
+    counts <= ``_mover_cols``.  These capacity checks are an
+    optimization, not the guarantee: transit occupancy between the
+    axis passes can exceed the origin-cell counts, so the dispatcher
+    additionally *post*-checks the exchange's ``dropped`` count and
+    reruns through the global sort on any loss (every overflow mode of
+    the exchange loses slots rather than misplacing them)."""
+    from ..config import PERIODIC
+
     G, K = st.valid.shape
     from .binning import state_cell_ids
 
@@ -403,11 +429,14 @@ def neighbor_guard_stats(st: BinnedState, geom: Geometry):
     for axis, _grid, n, _s in _axes(geom):
         if n == 1:
             continue
+        periodic = geom.bounds[axis] == PERIODIC
         c = jnp.clip(jnp.floor(st.r[..., axis]).astype(jnp.int32), 0, n - 1)
         home = _home_coord(geom, axis).reshape(G, 1)
         d = jnp.abs(c - home)
-        far = st.valid & ~((d <= 1) | (d >= n - 1))
-        ok &= jnp.sum(far) == 0
+        near = d <= 1
+        if periodic:
+            near |= d >= n - 1
+        ok &= jnp.sum(st.valid & ~near) == 0
         plus = st.valid & (c == jnp.where(home + 1 == n, 0, home + 1))
         ok &= jnp.max(jnp.sum(plus, axis=1)) <= A
         if n > 2:
