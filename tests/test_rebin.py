@@ -257,11 +257,12 @@ def test_guarded_dispatcher_takes_neighbor_branch(monkeypatch):
 
 
 def test_guarded_recovers_from_transit_overflow():
-    """Round-3 advisor high finding: the per-origin pre-guard passes but
-    a cell's mover buffer overflows mid-exchange from movers in transit
-    out of up to 3 neighboring source cells.  The dropped-count
-    post-check must reroute the step to the global sort (one slow step)
-    instead of losing particles and crashing a CFL-respecting run.
+    """Round-3 advisor high finding: every per-origin count is in
+    bounds but a cell's mover buffer overflows mid-exchange from movers
+    in transit out of up to 3 neighboring source cells.  The exact
+    guard must predict this (ok=False) and route the step to the global
+    sort (one slow step) instead of losing particles and crashing a
+    CFL-respecting run.
 
     Construction (dt=1, dx=1, K=40 so AT=16, A=8): target cell T gets
     8 resident movers (+y only; they sit in T's buffer through the x
@@ -284,10 +285,17 @@ def test_guarded_recovers_from_transit_overflow():
     )
     st = B._drift_impl(B.bin_state(sp, geom, 40), geom)
 
-    ok, _, _ = NR.neighbor_guard_stats(st, geom)
-    assert bool(ok), "pre-guard must pass: all origin-cell counts are in bounds"
+    # Every per-origin bound holds (the old, insufficient guard):
+    ids = B.state_cell_ids(st, geom)
+    home = jnp.arange(geom.n_cells, dtype=jnp.int32)[:, None]
+    leavers = jnp.sum(st.valid & (ids != home), axis=1)
+    assert int(jnp.max(leavers)) <= NR._buffer_cols(40)
+
+    # The raw exchange would drop in transit; the exact guard sees it:
     _, l_raw = NR.rebin_neighbor(st, geom, interpret=True)
     assert int(l_raw[1]) > 0, "raw exchange must exhibit the transit overflow"
+    ok, _, _ = NR.neighbor_guard_stats(st, geom)
+    assert not bool(ok), "exact guard must predict the transit overflow"
 
     s_g, l_g = B._rebin_neighbor_guarded(st, geom)
     s_glob, l_glob = B._rebin_global(st, geom)
@@ -295,6 +303,37 @@ def test_guarded_recovers_from_transit_overflow():
     assert [int(v) for v in np.asarray(l_g)] == \
            [int(v) for v in np.asarray(l_glob)]
     assert _cell_sets(s_g, geom) == _cell_sets(s_glob, geom)
+
+
+def test_exact_guard_is_tight_both_ways():
+    """The guard must (a) pass ordinary CFL-regime drift steps — at the
+    bench's thermal velocity every step takes the fast path — and (b)
+    agree with the raw exchange's dropped count in both directions over
+    a hot migration storm: ok=True iff the exchange routes losslessly
+    (modulo genuine K-capacity overflow, absent at these fills)."""
+    from xpic_tpu.ops import neighbor_rebin as NR
+
+    # (a) bench regime (v dt/dx ~ 4%): never reject
+    geom = Geometry(dx=0.5, dy=0.5, dz=0.5, dt=1.5, nx=8, ny=6, nz=4, nt=1)
+    st = _state32(geom, vth=0.014, seed=11)
+    for _ in range(3):
+        st = B._drift_impl(st, geom)
+        ok, _, _ = NR.neighbor_guard_stats(st, geom)
+        assert bool(ok), "guard rejects an ordinary thermal drift step"
+        st, load = B._rebin_neighbor_guarded(st, geom)
+        assert int(load[1]) == 0
+
+    # (b) hot storm (v dt/dx ~ 15%): guard verdict == exchange outcome
+    st = _state32(geom, vth=0.05, seed=11)
+    rejected = 0
+    for _ in range(4):
+        st = B._drift_impl(st, geom)
+        ok, _, _ = NR.neighbor_guard_stats(st, geom)
+        _, l_raw = NR.rebin_neighbor(st, geom, interpret=True)
+        assert bool(ok) == (int(l_raw[1]) == 0)
+        rejected += not bool(ok)
+        st, _ = B._rebin_global(st, geom)
+    assert rejected > 0, "storm never stressed the guard - weaken vth?"
 
 
 def test_full_axis_traversal_is_far_on_nonperiodic_axes():

@@ -403,25 +403,21 @@ def _pallas_interpret() -> bool:
 
 
 def _rebin_neighbor_guarded(st: BinnedState, geom: Geometry, mesh=None):
-    """Neighbor exchange with two in-graph fallbacks to the global sort
+    """Neighbor exchange with an in-graph fallback to the global sort
     (the reference's 26-neighbor exchange has the same reach,
-    src/interfaces/particles.cpp:118-248):
-
-    * **pre-guard** — any live slot moved more than one cell along an
-      axis, or an origin cell's mover counts already exceed the buffer
-      capacities (``neighbor_guard_stats``);
-    * **post-check** — the exchange reported ``dropped > 0``.  Between
-      the axis passes a cell's buffer also carries movers in transit
-      from neighboring source cells, so transit occupancy can overflow
-      even when every origin-cell count passes the pre-guard.  Every
-      overflow mode of the exchange *loses* slots (extract keeps at
-      most A per direction, place fills only free columns, the tail
-      merge drops beyond-capacity arrivals — nothing is misplaced), so
-      ``dropped > 0`` detects all of them exactly and the step reruns
-      through the global sort: one slow step instead of lost
-      particles.  Genuine K-capacity overflow reappears as the global
-      sort's own ``dropped`` and still raises in the schemes.
-    """
+    src/interfaces/particles.cpp:118-248).  The guard is EXACT for the
+    dimension-split exchange: ``neighbor_guard_stats`` simulates the
+    buffer routing at the counting level — including the occupancy of
+    movers *in transit* through a cell's buffer between the axis
+    passes, which can overflow even when every origin-cell count is in
+    bounds — so any step the exchange could not route losslessly takes
+    the global sort instead: one slow step, never dropped particles.
+    (A post-check on the exchange's own dropped count was tried first
+    and rejected: nesting the fallback ``lax.cond`` around the
+    exchange keeps the full pre-exchange payload alive across it and
+    cost ~15 ms/step at the bench shape.)  Genuine K-capacity overflow
+    (a destination cell beyond its slot budget) drops in both paths
+    identically and still raises in the schemes."""
     from .neighbor_rebin import neighbor_guard_stats, rebin_neighbor
 
     interp = _pallas_interpret()
@@ -446,23 +442,18 @@ def _rebin_neighbor_guarded(st: BinnedState, geom: Geometry, mesh=None):
             or (jax.config.jax_enable_x64 and not interp)
             or multi_dev):
         return _rebin_global(st, geom)
-    # One pass over the state yields both the pre-guard condition and
-    # the exchange statistics the neighbor path reports (XLA fuses the
+    # One pass over the state yields both the guard condition and the
+    # exchange statistics the neighbor path reports (XLA fuses the
     # reductions; recomputing them inside rebin_neighbor would read the
     # full payload a second time).
     ok, moved, n_before = neighbor_guard_stats(st, geom)
-
-    def _attempt(s):
-        res, load = rebin_neighbor(s, geom, mesh=mesh, interpret=interp,
-                                   stats=(moved, n_before))
-        return jax.lax.cond(
-            load[1] > 0,
-            lambda s2: _rebin_global(s2, geom),
-            lambda _s2: (res, load),
-            s,
-        )
-
-    return jax.lax.cond(ok, _attempt, lambda s: _rebin_global(s, geom), st)
+    return jax.lax.cond(
+        ok,
+        lambda s: rebin_neighbor(s, geom, mesh=mesh, interpret=interp,
+                                 stats=(moved, n_before)),
+        lambda s: _rebin_global(s, geom),
+        st,
+    )
 
 
 def _rebin_core(st: BinnedState, geom: Geometry, mesh=None):

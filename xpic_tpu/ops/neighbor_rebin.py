@@ -40,19 +40,18 @@ touch the *movers*, never the full payload:
    K-1-q >= n_stay, so the merge is a static-column select with no
    per-row scatter.
 
-Anything faster than one cell per axis per step falls back to the
-global sort via ``lax.cond`` (the caller counts such "far movers"
-first).  Capacity overflow — a cell with more than AT leavers, more
-per-direction movers than A *at any axis stage* (a cell's buffer also
-carries movers in transit from neighboring source cells between the
-passes, so transit occupancy can exceed the origin-cell counts), or a
-destination tail too full — surfaces as ``dropped`` in the load
-vector.  Every failure mode of the exchange *loses* slots (extract
-keeps at most A per direction, place fills only free columns, the
-tail merge drops beyond-capacity arrivals; nothing is ever
-overwritten or misplaced), so ``dropped > 0`` is a complete overflow
-detector: ``binning._rebin_neighbor_guarded`` reruns the step through
-the global sort in that case instead of dropping particles.
+Anything the exchange could not route losslessly falls back to the
+global sort via ``lax.cond`` before the exchange runs: the guard
+(:func:`neighbor_guard_stats`) is *exact* — it simulates the buffer
+routing at the counting level, bounding far movers, per-origin
+leavers (<= AT), per-direction extracts (<= A) and buffer occupancy
+(<= AT) at **every axis stage**, including movers in transit through
+a cell's buffer from neighboring source cells between the passes
+(transit occupancy can exceed every origin-cell count).  A hot step
+therefore costs one slow global sort, never dropped particles.
+Genuine K-capacity overflow (a destination cell beyond its slot
+budget) surfaces as ``dropped`` in the load vector in both paths and
+the schemes raise on it.
 
 Determinism: the partition sort, the buffer passes, and the tail merge
 are all keyed by (class, slot index) — a pure function of the pre-pass
@@ -88,12 +87,10 @@ def _mover_cols(K: int) -> int:
     independent of the lane count (sub-128-lane vectors burn a full
     register either way), so A is the knob that sets their price.
     8 covers the per-axis-per-direction Poisson tail at the bench
-    shape.  Overflow (possible even for CFL-respecting motion, since
-    transit occupancy between the axis passes can exceed a cell's own
-    mover count) is never silent: it shows up as ``dropped`` in the
-    load vector and ``binning._rebin_neighbor_guarded`` then reruns
-    the step through the global sort, so a hot cell costs one slow
-    step instead of dropped particles."""
+    shape.  A step that would exceed A anywhere — including movers in
+    transit between the axis passes — is caught by the exact guard
+    (:func:`neighbor_guard_stats`) and routed to the global sort, so a
+    hot cell costs one slow step instead of dropped particles."""
     return 8
 
 
@@ -398,50 +395,133 @@ def far_mover_count(st: BinnedState, geom: Geometry) -> jnp.ndarray:
     return total
 
 
-def neighbor_guard_stats(st: BinnedState, geom: Geometry):
-    """One pass over the state yielding the neighbor-path *pre*-guard
-    and the exchange statistics: ``(neighbor_ok, moved, n_before)``.
-
-    ``neighbor_ok`` enforces the exchange's correctness precondition —
-    every live slot moves at most one cell per axis (a ``d == n-1``
-    wrap counts as one cell only on PERIODIC axes) — plus two cheap
-    capacity rejections computable in this same pass: per-cell leavers
-    <= ``_buffer_cols`` and per-cell per-axis per-direction origin
-    counts <= ``_mover_cols``.  These capacity checks are an
-    optimization, not the guarantee: transit occupancy between the
-    axis passes can exceed the origin-cell counts, so the dispatcher
-    additionally *post*-checks the exchange's ``dropped`` count and
-    reruns through the global sort on any loss (every overflow mode of
-    the exchange loses slots rather than misplacing them)."""
+def _axis_direction_masks(st: BinnedState, geom: Geometry):
+    """Per-axis (plus, minus, stay) slot masks, classified EXACTLY as
+    the extract kernel does (c == wrapped home+-1), except that the
+    wrap counts as a one-cell move only on PERIODIC axes — on
+    reflective/open axes a full-axis traversal is ``far`` so the
+    kernel's unconditional wrap never applies to it.  Returns
+    ``(masks, far)`` where ``masks[axis] = (plus, minus, stay)`` and
+    ``far`` flags slots the exchange cannot route (need the global
+    sort)."""
     from ..config import PERIODIC
 
     G, K = st.valid.shape
-    from .binning import state_cell_ids
-
-    ids = state_cell_ids(st, geom)
-    home_flat = jnp.arange(G, dtype=jnp.int32)[:, None]
-    mover = st.valid & (ids != home_flat)
-    moved = jnp.sum(mover).astype(jnp.int32)
-    n_before = jnp.sum(st.valid).astype(jnp.int32)
-    ok = jnp.max(jnp.sum(mover, axis=1)) <= _buffer_cols(K)
-
-    A = _mover_cols(K)
+    masks = []
+    far = jnp.zeros((G, K), bool)
     for axis, _grid, n, _s in _axes(geom):
         if n == 1:
+            z = jnp.zeros((G, K), bool)
+            masks.append((z, z, jnp.ones((G, K), bool)))
             continue
         periodic = geom.bounds[axis] == PERIODIC
         c = jnp.clip(jnp.floor(st.r[..., axis]).astype(jnp.int32), 0, n - 1)
         home = _home_coord(geom, axis).reshape(G, 1)
-        d = jnp.abs(c - home)
-        near = d <= 1
+        stay = c == home
+        plus = c == home + 1
+        minus = c == home - 1
         if periodic:
-            near |= d >= n - 1
-        ok &= jnp.sum(st.valid & ~near) == 0
-        plus = st.valid & (c == jnp.where(home + 1 == n, 0, home + 1))
-        ok &= jnp.max(jnp.sum(plus, axis=1)) <= A
-        if n > 2:
-            minus = st.valid & (c == jnp.where(home == 0, n - 1, home - 1))
-            ok &= jnp.max(jnp.sum(minus, axis=1)) <= A
+            plus |= (home == n - 1) & (c == 0)
+            if n > 2:
+                minus |= (home == 0) & (c == n - 1)
+        if n == 2:
+            minus = jnp.zeros((G, K), bool)  # the kernel routes all as plus
+        masks.append((plus, minus, stay))
+        far |= ~(stay | plus | minus)
+    return masks, far
+
+
+def neighbor_guard_stats(st: BinnedState, geom: Geometry):
+    """One pass over the state yielding the neighbor-path guard and the
+    exchange statistics: ``(neighbor_ok, moved, n_before)``.
+
+    ``neighbor_ok`` is EXACT for the dimension-split exchange: it
+    simulates the buffer routing at the counting level.  Movers are
+    classified per axis exactly as the extract kernel will classify
+    them, counted per origin cell into 27 (dx, dy, dz)-class counts
+    (cheap masked lane reductions — one payload read, fused by XLA),
+    and those [G] count maps are then rolled along the pass axes to
+    bound the buffer state at every stage:
+
+    * stage 0 (origin): leavers per cell <= AT; x-direction counts
+      <= A per direction;
+    * stage 1 (after the x pass, movers grouped by (oz, oy, dx) — a
+      cell's buffer also carries movers in transit out of its x
+      neighbors): occupancy <= AT; y-direction counts <= A;
+    * stage 2 (after y, grouped by (oz, dy, dx)): occupancy <= AT;
+      z-direction counts <= A;
+    * stage 3 (arrivals per destination): <= AT.
+
+    Plus the routing precondition: no ``far`` movers (more than one
+    cell along any axis; on non-periodic axes a full-axis traversal is
+    far).  Any violation routes the step to the global sort — one slow
+    step instead of dropped particles.  The rolls run on [G]-sized
+    count maps, so the whole guard costs one payload read."""
+    G, K = st.valid.shape
+    AT = _buffer_cols(K)
+    A = _mover_cols(K)
+
+    masks, far = _axis_direction_masks(st, geom)
+    (xp_m, xm_m, xs_m), (yp_m, ym_m, ys_m), (zp_m, zm_m, zs_m) = masks
+    routable = st.valid & ~far
+    mover = routable & ~(xs_m & ys_m & zs_m)
+    moved = jnp.sum(mover).astype(jnp.int32)
+    n_before = jnp.sum(st.valid).astype(jnp.int32)
+    ok = jnp.sum(st.valid & far) == 0
+
+    def cnt(mask):
+        return jnp.sum(mover & mask, axis=1).astype(jnp.int32)  # [G]
+
+    shape3 = (geom.nz, geom.ny, geom.nx)
+
+    def roll3(v, gx=0, gy=0, gz=0):
+        out = v.reshape(shape3)
+        if gx:
+            out = jnp.roll(out, gx, axis=2)
+        if gy:
+            out = jnp.roll(out, gy, axis=1)
+        if gz:
+            out = jnp.roll(out, gz, axis=0)
+        return out.reshape(-1)
+
+    x_cls = ((xp_m, 1), (xm_m, -1), (xs_m, 0))
+    y_cls = ((yp_m, 1), (ym_m, -1), (ys_m, 0))
+    z_cls = ((zp_m, 1), (zm_m, -1), (zs_m, 0))
+
+    # stage 0: per-origin totals and x-direction counts
+    leav = cnt(jnp.ones_like(mover))
+    ok &= jnp.max(leav) <= AT
+    ok &= jnp.max(cnt(xp_m)) <= A
+    ok &= jnp.max(cnt(xm_m)) <= A
+
+    # stage 1: movers grouped by (oz, oy, dx) — roll the x classes
+    occ1 = jnp.zeros(G, jnp.int32)
+    yp1 = jnp.zeros(G, jnp.int32)
+    ym1 = jnp.zeros(G, jnp.int32)
+    for mx, i in x_cls:
+        occ1 += roll3(cnt(mx), gx=i)
+        yp1 += roll3(cnt(mx & yp_m), gx=i)
+        ym1 += roll3(cnt(mx & ym_m), gx=i)
+    ok &= jnp.max(occ1) <= AT
+    ok &= jnp.max(yp1) <= A
+    ok &= jnp.max(ym1) <= A
+
+    # stage 2: grouped by (oz, dy, dx) — roll x and y classes
+    occ2 = jnp.zeros(G, jnp.int32)
+    zp2 = jnp.zeros(G, jnp.int32)
+    zm2 = jnp.zeros(G, jnp.int32)
+    for mx, i in x_cls:
+        for my, j in y_cls:
+            occ2 += roll3(cnt(mx & my), gx=i, gy=j)
+            zp2 += roll3(cnt(mx & my & zp_m), gx=i, gy=j)
+            zm2 += roll3(cnt(mx & my & zm_m), gx=i, gy=j)
+    ok &= jnp.max(occ2) <= AT
+    ok &= jnp.max(zp2) <= A
+    ok &= jnp.max(zm2) <= A
+
+    # stage 3: arrivals per destination — occ2's z classes rolled home
+    occ3 = roll3(zp2, gz=1) + roll3(zm2, gz=-1) + (occ2 - zp2 - zm2)
+    ok &= jnp.max(occ3) <= AT
     return ok, moved, n_before
 
 
