@@ -27,24 +27,27 @@ sp = sort_by_cell(ParticleArrays(
     alive=jnp.ones(n, bool)), geom)
 st = bin_state(sp, geom, K)
 
-mesh = pm.make_mesh(8)
-shape = (3,) + geom.shape
-E, B, B0 = pm.shard_fields(mesh, jnp.zeros(shape, jnp.float32),
-                           jnp.zeros(shape, jnp.float32),
-                           jnp.zeros(shape, jnp.float32))
-from xpic_tpu.parallel.mesh import particle_sharding
-from jax.sharding import NamedSharding, PartitionSpec as P
-s3 = NamedSharding(mesh, P("z", None, None))
-s2 = NamedSharding(mesh, P("z", None))
+from xpic_tpu.parallel.mesh import state_sharding
 from xpic_tpu.ops.binning import BinnedState
-st = BinnedState(r=jax.device_put(st.r, s3), p=jax.device_put(st.p, s3),
-                 valid=jax.device_put(st.valid, s2))
 
-lowered = jax.jit(
-    lambda E, B, B0, st: ecsim_step_binned(
-        E, B, B0, st, geom, q=-1.0, m=1.0, mpw=0.125)
-).lower(E, B, B0, st)
-hlo = lowered.compile().as_text()
+
+def step_hlo(mesh_shape):
+    """Optimized HLO of the fused step on a mesh (1-D, 2-D or the full
+    3-axis decomposition — the -da_processors_* analogs)."""
+    mesh = pm.make_mesh(mesh_shape)
+    shape = (3,) + geom.shape
+    E, B, B0 = pm.shard_fields(mesh, jnp.zeros(shape, jnp.float32),
+                               jnp.zeros(shape, jnp.float32),
+                               jnp.zeros(shape, jnp.float32))
+    sst = BinnedState(
+        r=jax.device_put(st.r, state_sharding(mesh, 3)),
+        p=jax.device_put(st.p, state_sharding(mesh, 3)),
+        valid=jax.device_put(st.valid, state_sharding(mesh, 2)))
+    lowered = jax.jit(
+        lambda E, B, B0, s: ecsim_step_binned(
+            E, B, B0, s, geom, q=-1.0, m=1.0, mpw=0.125)
+    ).lower(E, B, B0, sst)
+    return lowered.compile().as_text()
 
 G = geom.n_cells
 big = {
@@ -53,30 +56,33 @@ big = {
     "weights_W": G * K * 3 * 12,              # full slot weights
 }
 
-counts = collections.Counter()
-suspicious = []
-for line in hlo.splitlines():
-    m = re.search(r"= (\S+?)\[?.*?\]? (all-gather|all-reduce|all-to-all|"
-                  r"collective-permute|reduce-scatter)\(", line)
-    op = None
-    for name in ("all-gather", "all-to-all", "collective-permute",
-                 "reduce-scatter", "all-reduce"):
-        if name + "(" in line or name + "-start(" in line:
-            op = name
-            break
-    if not op:
-        continue
-    counts[op] += 1
-    shp = re.search(r"= \w+\[([\d,]*)\]", line)
-    if shp:
-        dims = [int(x) for x in shp.group(1).split(",") if x]
-        size = int(np.prod(dims)) if dims else 1
-        if size >= min(big.values()):
-            which = [k for k, v in big.items() if size >= v]
-            suspicious.append({"op": op, "shape": dims, "size": size,
-                               "as_big_as": which})
+def audit(hlo):
+  counts = collections.Counter()
+  suspicious = []
+  for line in hlo.splitlines():
+      op = None
+      for name in ("all-gather", "all-to-all", "collective-permute",
+                   "reduce-scatter", "all-reduce"):
+          if name + "(" in line or name + "-start(" in line:
+              op = name
+              break
+      if not op:
+          continue
+      counts[op] += 1
+      shp = re.search(r"= \w+\[([\d,]*)\]", line)
+      if shp:
+          dims = [int(x) for x in shp.group(1).split(",") if x]
+          size = int(np.prod(dims)) if dims else 1
+          if size >= min(big.values()):
+              which = [k for k, v in big.items() if size >= v]
+              suspicious.append({"op": op, "shape": dims, "size": size,
+                                 "as_big_as": which})
+  return {"collective_counts": dict(counts),
+          "suspicious": suspicious[:20],
+          "n_suspicious": len(suspicious)}
 
-print(json.dumps({"collective_counts": dict(counts),
-                  "big_tensor_sizes": big,
-                  "suspicious": suspicious[:20],
-                  "n_suspicious": len(suspicious)}, indent=1))
+
+out = {"big_tensor_sizes": big}
+for label, shape in (("1d_z8", 8), ("3d_z2y2x2", (2, 2, 2))):
+    out[label] = audit(step_hlo(shape))
+print(json.dumps(out, indent=1))

@@ -34,13 +34,28 @@ dt = geom.dt
 steps, bounds = geom.cell_steps, geom.bounds
 half_dt2 = 0.5 * dt * dt
 
+if isinstance(L, tuple):  # matrix-free (the f32 default)
+    from xpic_tpu.ops.mass_free import mass_apply
+
+    op, trace = L
+
+    def matL(x):
+        return mass_apply(x, (op,), geom)
+
+    shift = trace / (3.0 * geom.n_cells)
+else:
+    def matL(x):
+        return apply_blocks(L, x, geom)
+
+    shift = jnp.einsum("gcici->", L) / (3.0 * geom.n_cells)
+
+
 def matA(x):
     y = 2.0 * x + half_dt2 * curl_negative(
         curl_positive(x, steps, bounds), steps, bounds)
-    return y + apply_blocks(L, x, geom)
+    return y + matL(x)
 
 rhs = 2.0 * E - dt * currI + dt * curl_negative(B - B0, steps, bounds)
-shift = jnp.einsum("gcici->", L) / (3.0 * geom.n_cells)
 
 def solve(degree):
     P = make_matM_preconditioner(geom, dt, degree=degree)

@@ -82,39 +82,39 @@ res["partition_sort_ms"], out = timeit(psort, st)
 key_s = out[0]
 planes = out[2:8]
 
+PACK = NR._pack_factor(geom.nx, AT)
+GP, L = G // PACK, PACK * AT
+res["pack"] = PACK
+
 
 @jax.jit
 def mkbuf(key_s, *planes):
     bufv = (key_s[:, K - AT:] == 2).astype(jnp.float32)
     return jnp.stack(
-        [p[:, K - AT:] * bufv for p in planes]
-        + [bufv, jnp.zeros_like(bufv)], axis=1)
+        [(p[:, K - AT:] * bufv).reshape(GP, L) for p in planes]
+        + [bufv.reshape(GP, L), jnp.zeros((GP, L), jnp.float32)], axis=1)
 
 
 res["mkbuf_ms"], buf = timeit(mkbuf, key_s, *planes)
 
-home0 = NR._home_coord(geom, 0)[:, None]
-ext = jax.jit(lambda b, h: NR._extract_pass(b, h, axis_ch=0, n_ax=geom.nx))
+home0 = NR._home_coord_packed(geom, 0, PACK)[:, None]
+ext = jax.jit(lambda b, h: NR._extract_pass(
+    b, h, axis_ch=0, n_ax=geom.nx, seg=AT, pack=PACK))
 res["buf_extract_ms"], (b2, up, dn) = timeit(ext, buf, home0)
 res["buf_rolls_ms"], (upr, dnr) = timeit(
-    jax.jit(lambda u, d: (NR._roll_cells(u, geom, 2, 1),
-                          NR._roll_cells(d, geom, 2, -1))), up, dn)
+    jax.jit(lambda u, d: (NR._roll_cells(u, geom, 2, 1, PACK),
+                          NR._roll_cells(d, geom, 2, -1, PACK))), up, dn)
 res["buf_place_ms"], _ = timeit(
-    jax.jit(lambda *a: NR._place_pass(*a)), b2, upr, dnr)
+    jax.jit(lambda *a: NR._place_pass(*a, seg=AT, pack=PACK)),
+    b2, upr, dnr)
 
 
 @jax.jit
 def tailmerge(key_s, buf, *planes):
     stay = key_s == 0
     n_stay = jnp.sum(stay, axis=1).astype(jnp.int32)
-    bcol = jnp.broadcast_to(jnp.arange(AT, dtype=jnp.int32)[None, :],
-                            (G, AT))
-    bkey = jnp.where(buf[:, 6, :] > 0.5, 0, 1).astype(jnp.int32)
-    bout = jax.lax.sort(
-        (bkey, bcol) + tuple(buf[:, c, :] for c in range(6)),
-        num_keys=2, dimension=1)
-    arr_ok = bout[0] == 0
-    arr = bout[2:8]
+    arr_ok = buf[:, 6, :].reshape(G, AT) > 0.5
+    arr = tuple(buf[:, c, :].reshape(G, AT) for c in range(6))
     qs = jnp.arange(AT, dtype=jnp.int32)[None, :]
     ok = arr_ok & ((K - 1 - qs) >= n_stay[:, None])
     okr = ok[:, ::-1]

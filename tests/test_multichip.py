@@ -126,6 +126,21 @@ def test_full_simulation_2d_mesh_invariance(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_full_simulation_3d_mesh_invariance(tmp_path):
+    """1 device vs the full 3-axis (Dz=2, Dy=2, Dx=2) mesh — all three
+    of the reference's -da_processors_* axes decomposed at once
+    (src/utils/configuration.cpp:117-130, src/utils/world.cpp:36-46)."""
+    out1 = _run_sim(tmp_path, "ecsim", 1)
+    out222 = _run_sim(tmp_path, "ecsim", {"z": 2, "y": 2, "x": 2})
+    for table in ("energy_conservation.txt", "charge_conservation.txt"):
+        h1, rows1 = _read_table(out1 / "temporal" / table)
+        h2, rows2 = _read_table(out222 / "temporal" / table)
+        assert h1 == h2
+        np.testing.assert_allclose(rows1, rows2, rtol=0, atol=1e-11,
+                                   err_msg=f"3d-mesh:{table}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_migration_storm_invariance(tmp_path):
     """Mesh-boundary-crossing stress: a cold beam streaming in z at
     ~0.17 cells/step for 20 steps — every particle repeatedly crosses

@@ -288,21 +288,29 @@ class Config:
     # reference's mpiexec -n N + -da_processors_* decomposition options,
     # src/utils/world.cpp:36-46).  1 = unsharded single chip.
     n_devices: int = 1
-    # Mesh shape: (Dz,) for a 1-D z mesh, (Dz, Dy) for a 2-D z*y mesh
-    # (the per-axis processor counts, configuration.cpp:117-130).
+    # Mesh shape: (Dz,) for a 1-D z mesh, (Dz, Dy) for a 2-D z*y mesh,
+    # (Dz, Dy, Dx) for the full 3-axis decomposition (the per-axis
+    # processor counts, configuration.cpp:117-130).
     mesh_shape: tuple = (1,)
 
     @staticmethod
     def from_json(doc: Mapping[str, Any]) -> "Config":
         geometry = geometry_from_json(doc["Geometry"])
-        # "Mesh": N (1-D z mesh) or {"z": Dz, "y": Dy} (2-D, the
-        # -da_processors_* analog).  {"devices": N} is the legacy form.
+        # "Mesh": N (1-D z mesh) or {"z": Dz, "y": Dy, "x": Dx} (the
+        # -da_processors_* analog, any subset of axes).  {"devices": N}
+        # is the legacy form.
         mesh_doc = doc.get("Mesh", 1)
         if isinstance(mesh_doc, Mapping):
-            if "z" in mesh_doc or "y" in mesh_doc:
+            if "z" in mesh_doc or "y" in mesh_doc or "x" in mesh_doc:
                 dz = int(mesh_doc.get("z", 1))
                 dy = int(mesh_doc.get("y", 1))
-                mesh_shape = (dz, dy) if dy > 1 else (dz,)
+                dx = int(mesh_doc.get("x", 1))
+                if dx > 1:
+                    mesh_shape = (dz, dy, dx)
+                elif dy > 1:
+                    mesh_shape = (dz, dy)
+                else:
+                    mesh_shape = (dz,)
             else:
                 mesh_shape = (int(mesh_doc.get("devices", 1)),)
         else:

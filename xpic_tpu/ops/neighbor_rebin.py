@@ -22,23 +22,26 @@ touch the *movers*, never the full payload:
    [G, 8, AT] is a static slice, and the stayers form a prefix so
    every column >= n_stay is free for arrivals.
 2. **dimension-split exchange on the buffer**: three axis passes
-   (x, y, z), each extract (Pallas: classify +-1 along the axis,
-   compact per direction via a log2 lane prefix-scan and an A-term
-   unrolled select-accumulate — batched per-cell matmuls run at
-   0.4 TF/s on the MXU, benchmarks/profile_roofcal.py, so everything
-   stays on the VPU) -> roll the [G, A, 8] direction buffers by +-1
-   cell (single-chip: a Pallas block copy with a shifted index map —
-   XLA's slice+concat roll ran at 23 GB/s; under GSPMD the jnp.roll
-   form is kept so the rolls become the halo collective-permutes, the
-   particle exchange riding ICI exactly like the reference's
-   26-neighbor Isend/Irecv) -> place (Pallas: insert arrivals into the
-   buffer's free columns front-first).  Multi-axis movers ride the
-   buffer through all three passes.
-3. **static tail merge** (XLA): buffer arrivals are compacted by one
-   cheap [G, AT] sort, and arrival q enters its destination row at
-   column K-1-q — free by the partition-sort invariant whenever
-   K-1-q >= n_stay, so the merge is a static-column select with no
-   per-row scatter.
+   (x, y, z), each extract (Pallas: classify +-1 along the axis, then
+   butterfly-compact each class — LSB-first binary lane shifts, which
+   are collision-free because the compaction offsets col - rank are
+   non-decreasing along lanes; log2(AT) roll+select passes replace the
+   old A-term unrolled select-accumulate, and batched per-cell matmuls
+   run at 0.4 TF/s on the MXU, benchmarks/profile_roofcal.py, so
+   everything stays on the VPU) -> roll the [G, 8, A] direction
+   buffers by +-1 cell (single-chip: a Pallas block copy with a
+   shifted index map — XLA's slice+concat roll ran at 23 GB/s; under
+   GSPMD the jnp.roll form is kept so the rolls become the halo
+   collective-permutes, the particle exchange riding ICI exactly like
+   the reference's 26-neighbor Isend/Irecv) -> place (Pallas: the
+   residents are left-compacted, so arrivals append via two uniform
+   per-cell right-shifts).  Multi-axis movers ride the buffer through
+   all three passes.
+3. **static tail merge** (XLA): the buffer leaves the passes
+   left-compacted, so lane q IS arrival rank q and arrival q enters
+   its destination row at column K-1-q — free by the partition-sort
+   invariant whenever K-1-q >= n_stay, so the merge is a
+   static-column select with no per-row scatter and no sort.
 
 Anything the exchange could not route losslessly falls back to the
 global sort via ``lax.cond`` before the exchange runs: the guard
@@ -82,13 +85,10 @@ def _pick_block(G: int, want: int = 64) -> int:
 
 
 def _mover_cols(K: int) -> int:
-    """Mover-buffer columns per direction (A).  The extract/place
-    kernels are A-term unrolled select-accumulates whose cost is
-    independent of the lane count (sub-128-lane vectors burn a full
-    register either way), so A is the knob that sets their price.
-    8 covers the per-axis-per-direction Poisson tail at the bench
-    shape.  A step that would exceed A anywhere — including movers in
-    transit between the axis passes — is caught by the exact guard
+    """Mover-buffer columns per direction per cell (A).  8 covers the
+    per-axis-per-direction Poisson tail at the bench shape.  A step
+    that would exceed A anywhere — including movers in transit between
+    the axis passes — is caught by the exact guard
     (:func:`neighbor_guard_stats`) and routed to the global sort, so a
     hot cell costs one slow step instead of dropped particles."""
     return 8
@@ -98,156 +98,345 @@ def _buffer_cols(K: int) -> int:
     """Total mover-buffer columns AT: every leaver of a cell must fit
     (CFL-guarded runs move ~6% of a cell's occupancy per step; ceil(K/3)
     rounded up to 8 is >= 5x the Poisson tail at the bench shape).
-    Capped at K so the static tail merge can always slice [K-AT:]."""
-    return min(K, max(16, (-(-K // 3) + 7) // 8 * 8))
+    Bumped to the next power of two when it fits — the packed exchange
+    needs pow2 segments for its lane masks, and the extra columns only
+    add capacity.  Capped at K so the static tail merge can always
+    slice [K-AT:]."""
+    at = min(K, max(16, (-(-K // 3) + 7) // 8 * 8))
+    p2 = 1 << (at - 1).bit_length()
+    if p2 <= K:
+        at = p2
+    return at
 
 
-def _rank(m):
-    """Exclusive within-group prefix count along lanes, [bg, K] f32.
+def _pack_factor(nx: int, AT: int) -> int:
+    """Cells packed side by side into one 128-lane register row.
+    Sub-128-lane vector ops burn a full register (kernel cost scales
+    with op count, not lane count — benchmarks/profile_pallas_prims),
+    so AT-lane segments are packed 128/AT x-consecutive cells per row:
+    a pure reshape of the x-major [G, AT] planes, no transpose.
+    Requires pow2 AT and pack | nx (packs must not cross x-lines, so
+    the y/z rolls stay whole-row and the x roll is a segment shift)."""
+    if AT & (AT - 1):
+        return 1
+    p = min(8, max(1, 128 // AT))
+    while p > 1 and nx % p:
+        p //= 2
+    return p
 
-    Hillis–Steele scan: log2(K) ``pltpu.roll`` + masked-add passes on
-    the VPU.  The earlier [bg, K] x [K, K] triangular-matmul form paid
-    the batched-small-matmul penalty (measured 0.4 TF/s on v5e for
-    such shapes, benchmarks/profile_roofcal.py) and dominated the
-    extract/place kernels."""
-    K = m.shape[-1]
-    axis = m.ndim - 1
-    col = jax.lax.broadcasted_iota(jnp.int32, m.shape, axis)
+
+def _lane_ids(shape, seg: int, pack: int, dim: int):
+    """(within-segment lane, segment id) iotas for a packed row."""
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+    if pack == 1:
+        return col, jnp.zeros_like(col)
+    return col & (seg - 1), col // seg
+
+
+def _rank_seg(m, seg: int, pack: int):
+    """Exclusive prefix count of ``m`` [bg, L] along lanes *within each
+    seg-lane segment* — Hillis–Steele with the add masked to stay
+    inside the segment (log2(seg) ``pltpu.roll`` passes)."""
+    L = m.shape[-1]
+    cs, _ = _lane_ids(m.shape, seg, pack, m.ndim - 1)
     x = m
-    shift = 1
-    while shift < K:
-        rolled = pltpu.roll(x, shift, axis=axis)
-        x = x + jnp.where(col >= shift, rolled, jnp.zeros_like(x))
-        shift <<= 1
+    s = 1
+    while s < seg:
+        rolled = pltpu.roll(x, s, axis=m.ndim - 1)
+        x = x + jnp.where(cs >= s, rolled, jnp.zeros_like(x))
+        s <<= 1
     return x - m
 
 
+def _seg_total(m, seg: int, pack: int):
+    """Per-lane segment totals of ``m`` [bg, L] (int32): an inclusive
+    in-segment prefix followed by a backward max-broadcast (the prefix
+    is non-decreasing within a segment, so max propagates the last
+    lane's total to every lane)."""
+    L = m.shape[-1]
+    cs, _ = _lane_ids(m.shape, seg, pack, m.ndim - 1)
+    x = m.astype(jnp.int32)
+    s = 1
+    while s < seg:
+        x = x + jnp.where(cs >= s, pltpu.roll(x, s, axis=m.ndim - 1),
+                          jnp.zeros_like(x))
+        s <<= 1
+    s = 1
+    while s < seg:
+        fwd = pltpu.roll(x, L - s, axis=m.ndim - 1)  # value from lane+s
+        x = jnp.maximum(x, jnp.where(cs < seg - s, fwd, jnp.zeros_like(x)))
+        s <<= 1
+    return x
+
+
+def _compact_left_seg(P, m, seg: int, pack: int):
+    """Stable left-compaction of the masked lanes of ``P`` [bg, C, L]
+    within each seg-lane segment: masked lanes end at in-segment lanes
+    0..nm-1 in source order, every other lane zero.
+
+    Butterfly shifts: each masked lane moves left by off = cs - rank,
+    and because off is non-decreasing along the lanes of a segment
+    (cs strictly increases, rank by 1 per masked lane) the LSB-first
+    binary decomposition is collision-free — at pass s all remaining
+    offsets are multiples of s, so a lane jumping s onto a resting
+    lane would need an offset difference congruent to s (mod 2s) yet
+    smaller than s.  Movers never cross segment boundaries (their
+    intermediate positions stay between target and source), so the
+    wrapping rolls are safe.  log2(seg) passes of one lane-roll + two
+    selects replace the old A-term select+reduce sweep."""
+    L = m.shape[-1]
+    cs, _ = _lane_ids(m.shape, seg, pack, m.ndim - 1)
+    off = (cs - _rank_seg(m, seg, pack).astype(jnp.int32)) \
+        * m.astype(jnp.int32)
+    x = P * m[:, None, :]
+    s = 1
+    while s < seg:
+        move = (off & s) > 0                                # [bg, L]
+        # pltpu.roll takes non-negative shifts (left-roll by s == roll
+        # by L - s) and only 32-bit data — the rolled move mask is
+        # recovered from the rolled offsets (non-movers carry off=0).
+        xr = pltpu.roll(x, L - s, axis=2)
+        offr = pltpu.roll(off, L - s, axis=1)
+        wr = (offr & s) > 0                                 # receives?
+        x = jnp.where(wr[:, None, :], xr,
+                      jnp.where(move[:, None, :], jnp.zeros_like(x), x))
+        off = jnp.where(wr, offr - s, jnp.where(move, 0, off))
+        s <<= 1
+    return x
+
+
+def _repack_dirs(x, seg: int, a: int, pack: int):
+    """[bg, C, pack*seg] with movers at each segment's first ``a``
+    lanes -> dense [bg, C, pack*a]: per-segment uniform left rolls
+    (disjoint targets, trivially collision-free)."""
+    bg, C, L = x.shape
+    if pack == 1:
+        return x[:, :, :a]
+    cs, segid = _lane_ids((bg, L), seg, pack, 1)
+    keep = (cs < a)[:, None, :]
+    y = jnp.where(keep, x, jnp.zeros_like(x))
+    out = None
+    for k in range(pack):
+        part = jnp.where((segid == k)[:, None, :], y, jnp.zeros_like(y))
+        sh = k * (seg - a)
+        if sh:
+            part = pltpu.roll(part, L - sh, axis=2)
+        out = part if out is None else out + part
+    return out[:, :, : pack * a]
+
+
+def _unpack_dirs(d, seg: int, pack: int, L: int):
+    """Inverse of :func:`_repack_dirs`: [bg, C, pack*a] -> [bg, C, L]
+    with segment k's block at lane k*seg."""
+    bg, C, Pa = d.shape
+    a = Pa // pack
+    x = jnp.concatenate(
+        [d, jnp.zeros((bg, C, L - Pa), d.dtype)], axis=2)
+    if pack == 1:
+        return x
+    col = jax.lax.broadcasted_iota(jnp.int32, (bg, L), 1)
+    out = None
+    for k in range(pack):
+        m = ((col >= k * a) & (col < (k + 1) * a))[:, None, :]
+        part = jnp.where(m, x, jnp.zeros_like(x))
+        sh = k * (seg - a)
+        if sh:
+            part = pltpu.roll(part, sh, axis=2)
+        out = part if out is None else out + part
+    return out
+
+
+def _shift_right_seg(x, v, seg: int, pack: int):
+    """Shift the lanes of ``x`` [bg, C, L] right by the per-lane count
+    ``v`` [bg, L] (int32, constant within each segment), zero-filling
+    from the segment start — a uniform in-segment butterfly over the
+    bits of v.  Content shifted past a segment's end is dropped (the
+    exact guard keeps the fast path clear of that)."""
+    L = x.shape[-1]
+    cs, _ = _lane_ids((x.shape[0], L), seg, pack, 1)
+    s = 1
+    while s < seg:
+        take = ((v & s) > 0)[:, None, :]
+        xr = jnp.where((cs >= s)[:, None, :], pltpu.roll(x, s, axis=2),
+                       jnp.zeros_like(x))
+        x = jnp.where(take, xr, x)
+        s <<= 1
+    return jnp.where((cs < v)[:, None, :], jnp.zeros_like(x), x)
+
+
 def _extract_kernel(P_ref, home_ref, out_ref, up_ref, dn_ref, *,
-                    axis_ch, n_ax):
-    """Classify + clear movers + compact them into direction buffers.
+                    axis_ch, n_ax, seg, pack):
+    """Classify + butterfly-compact the three classes per segment:
+    residents stay left-compacted in ``out``, the +-1 movers land
+    densely in the direction buffers [bg, C, pack*A] (source order).
 
-    P [bg, 8, K] payload (channels rx, ry, rz, px, py, pz, valid, 0);
-    ``home`` [bg, 1] int32 is each cell's coordinate along the pass axis
-    (an operand rather than program-id arithmetic so the same kernel is
-    valid inside shard_map, where program ids are shard-local).
+    P [bg, C, pack*seg]: ``pack`` x-consecutive cells per row, each a
+    seg-lane segment of the 8 payload channels (rx, ry, rz, px, py,
+    pz, valid, 0).  ``home`` [bg, 1] int32 is the row's first cell's
+    coordinate along the pass axis (an operand rather than program-id
+    arithmetic so the same kernel is valid inside shard_map, where
+    program ids are shard-local); for the x axis each segment's home
+    is home + segment id.
     """
-    K = P_ref.shape[2]
-    A = up_ref.shape[1]  # buffers are [bg, A, C]
     f32 = jnp.float32
-
     P = P_ref[:]
+    L = P.shape[2]
     home = home_ref[:]                                      # [bg, 1]
+    a = up_ref.shape[2] // pack
+
+    cs, segid = _lane_ids((P.shape[0], L), seg, pack, 1)
+    if axis_ch == 0 and pack > 1:
+        home_l = home + segid                               # [bg, L]
+    else:
+        home_l = jnp.broadcast_to(home, segid.shape)
 
     valid = P[:, 6, :] > 0.5
     c = jnp.clip(P[:, axis_ch, :].astype(jnp.int32), 0, n_ax - 1)
     # floor for non-negative positions == int cast (positions >= 0).
-    plus = valid & (c == jnp.where(home + 1 == n_ax, 0, home + 1))
+    plus = valid & (c == jnp.where(home_l + 1 == n_ax, 0, home_l + 1))
     if n_ax == 2:
         minus = jnp.zeros_like(plus)
     else:
-        minus = valid & (c == jnp.where(home == 0, n_ax - 1, home - 1))
-    mp = plus.astype(f32)
-    mm = minus.astype(f32)
+        minus = valid & (c == jnp.where(home_l == 0, n_ax - 1, home_l - 1))
+    stay = valid & ~plus & ~minus
 
-    def compact(m, buf_ref):
-        rank = _rank(m)                                     # [bg, K]
-        cols = []
-        for j in range(A):
-            sel = m * (rank == float(j))                    # [bg, K]
-            # One mover at most matches; masked lane-reduce extracts it.
-            cols.append(jnp.sum(P * sel[:, None, :], axis=2))  # [bg, C]
-        buf_ref[:] = jnp.stack(cols, axis=1)                # [bg, A, C]
-
-    compact(mp, up_ref)
-    compact(mm, dn_ref)
-    out_ref[:] = P * (1.0 - mp - mm)[:, None, :]
+    out_ref[:] = _compact_left_seg(P, stay.astype(f32), seg, pack)
+    up_ref[:] = _repack_dirs(
+        _compact_left_seg(P, plus.astype(f32), seg, pack), seg, a, pack)
+    dn_ref[:] = _repack_dirs(
+        _compact_left_seg(P, minus.astype(f32), seg, pack), seg, a, pack)
 
 
-def _place_kernel(P_ref, up_ref, dn_ref, out_ref):
-    """Insert the rolled arrival buffers into each row's free slots.
+def _roll_x_in_block(d, shift: int, pack: int, nxp: int):
+    """+-1-cell x-roll of a direction buffer block [bg, C, pack*A]:
+    a lane segment shift whose edge segment carries over to the
+    adjacent row of the same x-line.  Valid when whole x-lines (nxp
+    rows) sit inside the block (the caller guarantees nxp | bg), so
+    every reference stays in VMEM — this replaces the XLA slice+concat
+    segment roll in the fused path."""
+    bg, C, PA = d.shape
+    A = PA // pack
+    col = jax.lax.broadcasted_iota(jnp.int32, (bg, 1, PA), 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (bg, 1, 1), 0)
+    if shift == 1:
+        a = pltpu.roll(d, A, axis=2)          # seg k -> k+1, P-1 wraps to 0
+        b = pltpu.roll(a, 1, axis=0)          # row r <- r-1
+        c = pltpu.roll(a, (1 - nxp) % bg, axis=0)   # r <- r+nxp-1
+        edge = col < A
+        line_first = (row % nxp) == 0
+        return jnp.where(edge, jnp.where(line_first, c, b), a)
+    a = pltpu.roll(d, PA - A, axis=2)         # seg k -> k-1, 0 wraps to P-1
+    b = pltpu.roll(a, (bg - 1) % bg, axis=0)  # row r <- r+1
+    c = pltpu.roll(a, (nxp - 1) % bg, axis=0)  # r <- r-nxp+1
+    edge = col >= PA - A
+    line_last = (row % nxp) == nxp - 1
+    return jnp.where(edge, jnp.where(line_last, c, b), a)
 
-    Free slots (ch6 == 0) are filled front-first: up-arrivals in source
-    order, then dn-arrivals.  Arrivals beyond the free count vanish
-    (counted as dropped by the caller).
+
+def _place_kernel(P_ref, up_ref, dn_ref, out_ref, *, seg, pack,
+                  roll_x_nxp=0):
+    """Append the rolled arrival buffers after each segment's
+    residents.
+
+    The extract kernel left-compacted the residents, and the arrival
+    buffers are compacted by construction, so placement is two uniform
+    in-segment right-shifts (by the resident count, then additionally
+    by the up-arrival count) plus adds — each segment stays
+    left-compacted, which the final tail merge relies on.  Arrivals
+    beyond a segment's capacity vanish (the exact guard prevents this
+    on the fast path; any loss is counted as dropped by the caller).
+
+    With ``roll_x_nxp > 0`` the +-1-cell x rolls of the direction
+    buffers are folded in here (:func:`_roll_x_in_block`) instead of
+    running as XLA segment concats between the kernels.
     """
-    bg, C, K = P_ref.shape
-    A = up_ref.shape[1]  # buffers are [bg, A, C]
-    f32 = jnp.float32
-
     P = P_ref[:]
-    up = up_ref[:]
-    dn = dn_ref[:]
+    L = P.shape[2]
+    up_d = up_ref[:]
+    dn_d = dn_ref[:]
+    if roll_x_nxp:
+        up_d = _roll_x_in_block(up_d, +1, pack, roll_x_nxp)
+        dn_d = _roll_x_in_block(dn_d, -1, pack, roll_x_nxp)
+    up = _unpack_dirs(up_d, seg, pack, L)
+    dn = _unpack_dirs(dn_d, seg, pack, L)
 
-    free = 1.0 - P[:, 6, :]                       # [bg, K]
-    frank = _rank(free)                           # [bg, K]
-    a_up = jnp.sum(up[:, :, 6], axis=1, keepdims=True)  # [bg, 1]
+    n_res = _seg_total(P[:, 6, :], seg, pack)
+    a_up = _seg_total(up[:, 6, :], seg, pack)
 
-    out = P
-    for j in range(A):
-        ind_u = free * (frank == float(j))                  # [bg, K]
-        ind_d = free * (frank == (a_up + float(j)))
-        out = (
-            out
-            + up[:, j, :][:, :, None] * ind_u[:, None, :]
-            + dn[:, j, :][:, :, None] * ind_d[:, None, :]
-        )
-    out_ref[:] = out
+    out_ref[:] = (
+        P
+        + _shift_right_seg(up, n_res, seg, pack)
+        + _shift_right_seg(dn, n_res + a_up, seg, pack)
+    )
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("axis_ch", "n_ax", "block_g",
-                                    "interpret"))
-def _extract_pass(P, home, *, axis_ch: int, n_ax: int,
-                  block_g: int = 64, interpret: bool = False):
-    G, C, K = P.shape
-    A = _mover_cols(K)
-    bg = _pick_block(G, block_g)
-    grid = (G // bg,)
-    pspec = pl.BlockSpec((bg, C, K), lambda i: (i, 0, 0),
+                   static_argnames=("axis_ch", "n_ax", "seg", "pack",
+                                    "block_g", "interpret"))
+def _extract_pass(P, home, *, axis_ch: int, n_ax: int, seg: int,
+                  pack: int, block_g: int = 256,
+                  interpret: bool = False):
+    GP, C, L = P.shape
+    A = pack * _mover_cols(L)
+    bg = _pick_block(GP, block_g)
+    grid = (GP // bg,)
+    pspec = pl.BlockSpec((bg, C, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     hspec = pl.BlockSpec((bg, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-    aspec = pl.BlockSpec((bg, A, C), lambda i: (i, 0, 0),
+    aspec = pl.BlockSpec((bg, C, A), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    kernel = functools.partial(_extract_kernel, axis_ch=axis_ch, n_ax=n_ax)
+    kernel = functools.partial(_extract_kernel, axis_ch=axis_ch,
+                               n_ax=n_ax, seg=seg, pack=pack)
+    logk = max(1, (seg - 1).bit_length())
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pspec, hspec],
         out_specs=(pspec, aspec, aspec),
         out_shape=(
-            jax.ShapeDtypeStruct((G, C, K), jnp.float32),
-            jax.ShapeDtypeStruct((G, A, C), jnp.float32),
-            jax.ShapeDtypeStruct((G, A, C), jnp.float32),
+            jax.ShapeDtypeStruct((GP, C, L), jnp.float32),
+            jax.ShapeDtypeStruct((GP, C, A), jnp.float32),
+            jax.ShapeDtypeStruct((GP, C, A), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * G * K * (K + 2 * A * C),
-            bytes_accessed=2 * G * K * C * 4 + 2 * G * A * C * 4,
+            flops=3 * 2 * logk * GP * L * (C + 2),
+            bytes_accessed=2 * GP * L * C * 4 + 2 * GP * A * C * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(P, home)
 
 
-@functools.partial(jax.jit, static_argnames=("block_g", "interpret"))
-def _place_pass(P, up, dn, *, block_g: int = 64, interpret: bool = False):
-    G, C, K = P.shape
-    A = up.shape[1]
-    bg = _pick_block(G, block_g)
-    grid = (G // bg,)
-    pspec = pl.BlockSpec((bg, C, K), lambda i: (i, 0, 0),
+@functools.partial(jax.jit, static_argnames=("seg", "pack", "roll_x_nxp",
+                                             "block_g", "interpret"))
+def _place_pass(P, up, dn, *, seg: int, pack: int, roll_x_nxp: int = 0,
+                block_g: int = 256, interpret: bool = False):
+    GP, C, L = P.shape
+    A = up.shape[2]
+    if roll_x_nxp:
+        # whole x-lines must sit inside a block for the folded x roll
+        bg = _pick_block(GP // roll_x_nxp,
+                         max(1, block_g // roll_x_nxp)) * roll_x_nxp
+    else:
+        bg = _pick_block(GP, block_g)
+    grid = (GP // bg,)
+    pspec = pl.BlockSpec((bg, C, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    aspec = pl.BlockSpec((bg, A, C), lambda i: (i, 0, 0),
+    aspec = pl.BlockSpec((bg, C, A), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
+    logk = max(1, (seg - 1).bit_length())
+    kernel = functools.partial(_place_kernel, seg=seg, pack=pack,
+                               roll_x_nxp=roll_x_nxp)
     return pl.pallas_call(
-        _place_kernel,
+        kernel,
         grid=grid,
         in_specs=[pspec, aspec, aspec],
         out_specs=pspec,
-        out_shape=jax.ShapeDtypeStruct((G, C, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((GP, C, L), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * G * K * (K + 2 * A * C),
-            bytes_accessed=2 * G * K * C * 4 + 2 * G * A * C * 4,
+            flops=2 * 2 * logk * GP * L * C,
+            bytes_accessed=2 * GP * L * C * 4 + 2 * GP * A * C * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -272,6 +461,18 @@ def _home_coord(geom: Geometry, axis: int) -> jnp.ndarray:
     if axis == 1:
         return (g // geom.nx) % geom.ny
     return g // (geom.nx * geom.ny)
+
+
+def _home_coord_packed(geom: Geometry, axis: int, pack: int) -> jnp.ndarray:
+    """Per packed-row home coordinate along ``axis``: for x, the first
+    cell's coordinate (segment k is home + k); y/z are row-constant."""
+    nxp = geom.nx // pack
+    row = jnp.arange(geom.n_cells // pack, dtype=jnp.int32)
+    if axis == 0:
+        return (row % nxp) * pack
+    if axis == 1:
+        return (row // nxp) % geom.ny
+    return row // (nxp * geom.ny)
 
 
 def _roll_kernel_sub(in_ref, out_ref, *, shift):
@@ -329,47 +530,61 @@ def _roll_inner_pallas(V, n_blocks: int, shift: int,
 
 
 def _roll_cells(Abuf, geom: Geometry, grid_axis: int, shift: int,
-                *, mesh=None, interpret: bool = False):
-    """Roll a [G, A, C] mover buffer by ``shift`` cells along one
-    spatial axis of the [nz, ny, nx] cell grid.  The buffer is viewed
-    as [..., A*C] so the rolled lane dimension is dense (A*C = 64 for
-    the default 8 columns x 8 channels).
+                pack: int, *, mesh=None, interpret: bool = False):
+    """Roll a [G/pack, C, pack*A] mover direction buffer by ``shift``
+    (+-1) cells along one spatial axis of the [nz, ny, nx] cell grid.
+    Rows hold ``pack`` x-consecutive cells, so y/z rolls stay whole-row
+    moves; the x roll is a within-row segment shift with the edge
+    segment carried from the x-neighbor row.
 
-    Under a mesh the jnp.roll form is kept: GSPMD turns it into the
-    halo collective-permute that carries movers across shards.
+    Under a mesh the jnp.roll forms are kept: GSPMD turns them into
+    the halo collective-permutes that carry movers across shards (x is
+    never mesh-sharded, so the packed x roll stays shard-local).
     Single-chip, jnp.roll lowers to slice+concat at ~23 GB/s
-    (benchmarks/profile_roofcal.py), so the Pallas forms are used:
-    z rolls whole [ny*nx, A*C] planes via a shifted block index map,
-    x / y roll sublanes within each cell line / plane in VMEM."""
-    G, A, C = Abuf.shape
-    AC = A * C
-    plane_bytes = geom.ny * geom.nx * AC * Abuf.dtype.itemsize
-    # Mosaic wants (sublane % 8, lane % 128) blocks — or a lane dim that
-    # equals the full array dim, which the x/y sublane rolls use.  The z
-    # path views rows as [ny*nx*AC/128, 128].  Odd-shaped (test-sized)
-    # grids fall back to jnp.roll.
+    (benchmarks/profile_roofcal.py), so the y/z rolls use the Pallas
+    block-copy forms when the shapes allow."""
+    GP, C, PA = Abuf.shape
+    A = PA // pack
+    R = C * PA
+    nxp = geom.nx // pack
+
+    if grid_axis == 2:
+        # x: shift cells within each x-line.  View [..., C, pack, A]
+        # and move segments; the edge segment comes from the
+        # +-1-rolled x-group row (wrapping within the line).  The
+        # buffer is small (A=8 lanes per cell), so the XLA
+        # roll+concat form is cheap enough for every path.
+        U = Abuf.reshape(geom.nz, geom.ny, nxp, C, pack, A)
+        Ur = jnp.roll(U, shift, axis=2)
+        if pack == 1:
+            out = Ur
+        elif shift == 1:
+            out = jnp.concatenate(
+                [Ur[..., pack - 1:, :], U[..., : pack - 1, :]], axis=4)
+        else:  # shift == -1
+            out = jnp.concatenate(
+                [U[..., 1:, :], Ur[..., :1, :]], axis=4)
+        return out.reshape(GP, C, PA)
+
+    plane_rows = geom.ny * nxp
     pallas_ok = (
         mesh is None
-        and not (grid_axis <= 1 and plane_bytes > 4 << 20)
-        and not (grid_axis == 0 and (geom.ny * geom.nx * AC) % 1024)
+        and not (plane_rows * R * Abuf.dtype.itemsize > 16 << 20)
+        and not (grid_axis == 0 and (plane_rows * R) % 1024)
         and not (grid_axis == 1 and geom.ny % 8)
-        and not (grid_axis == 2 and geom.nx % 8)
     )
     if not pallas_ok:
-        V = Abuf.reshape(geom.nz, geom.ny, geom.nx, AC)
-        return jnp.roll(V, shift, axis=grid_axis).reshape(G, A, C)
-    flat = Abuf.reshape(G, AC)
-    if grid_axis == 0:  # z: stride ny*nx rows — block-shifted copy
-        V = flat.reshape(geom.nz, geom.ny * geom.nx * AC)
+        V = Abuf.reshape(geom.nz, geom.ny, nxp, R)
+        return jnp.roll(V, shift, axis=grid_axis).reshape(GP, C, PA)
+    flat = Abuf.reshape(GP, R)
+    if grid_axis == 0:  # z: whole planes — block-shifted copy
+        V = flat.reshape(geom.nz, plane_rows * R)
         out = _roll_outer_pallas(V, shift, interpret=interpret)
-    elif grid_axis == 1:  # y: roll ny-row groups within each z plane
+    else:  # y: roll (z, y)-rows within each z plane
         out = _roll_inner_pallas(
-            flat.reshape(geom.nz * geom.ny, geom.nx * AC),
+            flat.reshape(geom.nz * geom.ny, nxp * R),
             geom.nz, shift, interpret=interpret)
-    else:  # x: roll nx-row groups within each (z, y) line
-        out = _roll_inner_pallas(flat, geom.nz * geom.ny, shift,
-                                 interpret=interpret)
-    return out.reshape(G, A, C)
+    return out.reshape(GP, C, PA)
 
 
 def far_mover_count(st: BinnedState, geom: Geometry) -> jnp.ndarray:
@@ -533,7 +748,7 @@ def _cell_partition_spec(mesh):
     return P, axes
 
 
-def _shardmap_extract(mesh, axis_ch, n_ax, interpret):
+def _shardmap_extract(mesh, axis_ch, n_ax, seg, pack, interpret):
     """Wrap the (cell-local) extract kernel in shard_map over the cell
     axis — pl.pallas_call has no SPMD partitioning rule, so under a
     mesh each shard runs its own kernel on its own cell block (the
@@ -542,7 +757,7 @@ def _shardmap_extract(mesh, axis_ch, n_ax, interpret):
 
     P, axes = _cell_partition_spec(mesh)
     fn = functools.partial(_extract_pass, axis_ch=axis_ch, n_ax=n_ax,
-                           interpret=interpret)
+                           seg=seg, pack=pack, interpret=interpret)
     return shard_map(
         fn, mesh=mesh,
         in_specs=(P(axes, None, None), P(axes, None)),
@@ -552,11 +767,12 @@ def _shardmap_extract(mesh, axis_ch, n_ax, interpret):
     )
 
 
-def _shardmap_place(mesh, interpret):
+def _shardmap_place(mesh, seg, pack, interpret):
     from jax import shard_map
 
     P, axes = _cell_partition_spec(mesh)
-    fn = functools.partial(_place_pass, interpret=interpret)
+    fn = functools.partial(_place_pass, seg=seg, pack=pack,
+                           interpret=interpret)
     return shard_map(
         fn, mesh=mesh,
         in_specs=(P(axes, None, None), P(axes, None, None),
@@ -620,51 +836,66 @@ def rebin_neighbor(st: BinnedState, geom: Geometry, *,
     stay = key_s == 0
     n_stay = jnp.sum(stay, axis=1).astype(jnp.int32)
 
-    # 2. Mover buffer [G, 8, AT] from the row tails: channels rx, ry,
-    # rz, px, py, pz, valid, 0.  Rows with more than AT movers lose the
-    # excess (counted as dropped below; the CFL guard makes >AT leavers
-    # per cell a capacity fault, same class as K overflow).
+    # 2. Packed mover buffer [G/pack, 8, pack*AT] from the row tails —
+    # pack x-consecutive cells per 128-lane register row, a pure
+    # reshape of the x-major [G, AT] planes.  Channels rx, ry, rz, px,
+    # py, pz, valid, 0.  Rows with more than AT movers lose the excess
+    # (counted as dropped below; the CFL guard makes >AT leavers per
+    # cell a capacity fault, same class as K overflow).
+    pack = _pack_factor(geom.nx, AT)
+    GP = G // pack
+    L = pack * AT
     bufv = (key_s[:, K - AT:] == 2).astype(f32)
     buf = jnp.stack(
-        [pln[:, K - AT:] * bufv for pln in planes]
-        + [bufv, jnp.zeros_like(bufv)],
+        [(pln[:, K - AT:] * bufv).reshape(GP, L) for pln in planes]
+        + [bufv.reshape(GP, L), jnp.zeros((GP, L), f32)],
         axis=1,
     )
 
     if mesh is None:
-        place = functools.partial(_place_pass, interpret=interpret)
+        place = functools.partial(_place_pass, seg=AT, pack=pack,
+                                  interpret=interpret)
     else:
-        place = _shardmap_place(mesh, interpret)
+        place = _shardmap_place(mesh, AT, pack, interpret)
 
     # 3. Dimension-split exchange on the buffer only.  Multi-axis
     # movers ride the buffer through all passes; everything in the
-    # buffer is home after the z pass.
+    # buffer is home after the z pass.  Single-chip, the x roll is
+    # folded into the place kernel (whole x-lines per block) instead
+    # of an XLA segment concat between the kernels.
+    nxp = geom.nx // pack
     for axis_ch, grid_axis, n_ax, _stride in _axes(geom):
         if n_ax == 1:
             continue
-        home = _home_coord(geom, axis_ch)[:, None]  # [G, 1] int32
+        home = _home_coord_packed(geom, axis_ch, pack)[:, None]
         if mesh is None:
-            extract = functools.partial(_extract_pass, axis_ch=axis_ch,
-                                        n_ax=n_ax, interpret=interpret)
+            extract = functools.partial(
+                _extract_pass, axis_ch=axis_ch, n_ax=n_ax, seg=AT,
+                pack=pack, interpret=interpret)
         else:
-            extract = _shardmap_extract(mesh, axis_ch, n_ax, interpret)
+            extract = _shardmap_extract(mesh, axis_ch, n_ax, AT, pack,
+                                        interpret)
         buf, up, dn = extract(buf, home)
-        up = _roll_cells(up, geom, grid_axis, +1, mesh=mesh,
+        fold_x = (grid_axis == 2 and mesh is None and GP % nxp == 0
+                  and nxp <= 512)
+        if fold_x:
+            buf = _place_pass(buf, up, dn, seg=AT, pack=pack,
+                              roll_x_nxp=nxp, interpret=interpret)
+            continue
+        up = _roll_cells(up, geom, grid_axis, +1, pack, mesh=mesh,
                          interpret=interpret)
-        dn = _roll_cells(dn, geom, grid_axis, -1, mesh=mesh,
+        dn = _roll_cells(dn, geom, grid_axis, -1, pack, mesh=mesh,
                          interpret=interpret)
         buf = place(buf, up, dn)
 
-    # 4. Compact the arrivals (valid first, stable in buffer order —
-    # a deterministic function of the pre-pass state).
-    bcol = jnp.broadcast_to(jnp.arange(AT, dtype=jnp.int32)[None, :],
-                            (G, AT))
-    bkey = jnp.where(buf[:, 6, :] > 0.5, 0, 1).astype(jnp.int32)
-    bout = jax.lax.sort(
-        (bkey, bcol) + tuple(buf[:, c, :] for c in range(6)),
-        num_keys=2, dimension=1)
-    arr_ok = bout[0] == 0
-    arr = bout[2:8]
+    # 4. Each cell's segment is left-compacted by construction after
+    # the passes (the extract kernel compacts residents, the place
+    # kernel appends arrivals contiguously), so the arrivals need no
+    # compaction sort: unpacked, lane q IS arrival rank q, stable in
+    # (resident, up, dn) order — a deterministic function of the
+    # pre-pass state.
+    arr_ok = buf[:, 6, :].reshape(G, AT) > 0.5
+    arr = tuple(buf[:, c, :].reshape(G, AT) for c in range(6))
 
     # 5. Static tail merge: arrival q -> column K-1-q, which the
     # partition sort guarantees is free iff K-1-q >= n_stay (stayers

@@ -5,15 +5,15 @@ decomposition over MPI ranks with halo exchange (src/utils/world.cpp:36-46,
 SURVEY 2.7), with per-axis processor counts selectable on the command
 line (``-da_processors_{x,y,z}``, src/utils/configuration.cpp:117-130).
 The TPU-native equivalent: a GSPMD mesh with the grid sharded along z
-(1-D) or along z and y (2-D), and particle arrays sharded along their
-flat axis.  All kernels in this package are written in global semantics
-(rolls + dense per-cell ops), so XLA inserts the halo
-collective-permutes and the segment reductions become psums — the same
-code runs on 1 chip or a pod slice.
+(1-D), z and y (2-D), or all of z, y, x (3-D), and particle arrays
+sharded along their flat axis.  All kernels in this package are
+written in global semantics (rolls + dense per-cell ops), so XLA
+inserts the halo collective-permutes and the segment reductions become
+psums — the same code runs on 1 chip or a pod slice.
 
 Mesh shapes come from the ``"Mesh"`` config key: an integer N is a 1-D
-z mesh over N devices; a mapping ``{"z": 4, "y": 2}`` is the
-per-axis-processor-count analog.
+z mesh over N devices; a mapping ``{"z": 2, "y": 2, "x": 2}`` is the
+per-axis-processor-count analog (any subset of axes).
 
 Because the particle arrays are kept *cell-sorted* and the flat cell
 index is z-major, sharding particles equally along their flat axis is
@@ -37,24 +37,27 @@ def make_mesh(shape: int | tuple[int, ...] | None = None,
               devices=None) -> Mesh:
     """Build the device mesh.
 
-    ``shape`` is either a device count (1-D ``("z",)`` mesh) or a tuple
-    ``(Dz, Dy)`` (2-D ``("z", "y")`` mesh — the analog of
-    ``-da_processors_z/y``, src/utils/configuration.cpp:117-130).
+    ``shape`` is either a device count (1-D ``("z",)`` mesh), a tuple
+    ``(Dz, Dy)`` (2-D ``("z", "y")`` mesh) or ``(Dz, Dy, Dx)`` (the
+    full 3-axis decomposition) — the analog of ``-da_processors_z/y/x``
+    (src/utils/configuration.cpp:117-130).
     """
     if isinstance(shape, tuple) and len(shape) == 1:
         shape = shape[0]
     if devices is None:
         devices = jax.devices()
     if isinstance(shape, tuple):
-        dz, dy = shape
-        n = dz * dy
+        n = 1
+        for d in shape:
+            n *= d
         if len(devices) < n:
             raise RuntimeError(
                 f"mesh shape {shape} needs {n} devices, "
                 f"only {len(devices)} available"
             )
         return Mesh(
-            np.asarray(devices[:n]).reshape(dz, dy), axis_names=("z", "y")
+            np.asarray(devices[:n]).reshape(shape),
+            axis_names=("z", "y", "x")[: len(shape)],
         )
     n = len(devices) if shape is None else shape
     return Mesh(np.asarray(devices[:n]), axis_names=("z",))
@@ -65,17 +68,20 @@ def _cell_axes(mesh: Mesh):
     return tuple(mesh.axis_names) if len(mesh.axis_names) > 1 else "z"
 
 
+def _grid_spec(mesh: Mesh):
+    """Per-axis spec entries for a [nz, ny, nx] grid."""
+    return tuple(a if a in mesh.axis_names else None
+                 for a in ("z", "y", "x"))
+
+
 def field_sharding(mesh: Mesh) -> NamedSharding:
-    """[3, nz, ny, nx] fields: shard z (and y on a 2-D mesh)."""
-    if "y" in mesh.axis_names:
-        return NamedSharding(mesh, P(None, "z", "y", None))
-    return NamedSharding(mesh, P(None, "z", None, None))
+    """[3, nz, ny, nx] fields: shard z (plus y / x on 2-D / 3-D
+    meshes)."""
+    return NamedSharding(mesh, P(None, *_grid_spec(mesh)))
 
 
 def scalar_field_sharding(mesh: Mesh) -> NamedSharding:
-    if "y" in mesh.axis_names:
-        return NamedSharding(mesh, P("z", "y", None))
-    return NamedSharding(mesh, P("z", None, None))
+    return NamedSharding(mesh, P(*_grid_spec(mesh)))
 
 
 def particle_sharding(mesh: Mesh) -> NamedSharding:
