@@ -36,8 +36,89 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 BASELINE_PARTICLES_PER_S = 1.0e7
 
 
+def bench_eccapfim() -> None:
+    """BENCH_SCHEME=eccapfim: throughput of the fully implicit scheme
+    (Anderson outer solve over fused Crank-Nicolson particle sweeps,
+    src/impls/eccapfim/simulation.cpp:358-392) through the production
+    scheme class, plus its iteration counts."""
+    import time as _time
+
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from xpic_tpu.commands import particles_load
+    from xpic_tpu.config import Config
+    from xpic_tpu.schemes import build_simulation
+
+    n_side = int(os.environ.get("BENCH_GRID", "32"))
+    ppc = int(os.environ.get("BENCH_PPC", "50"))
+    steps = int(os.environ.get("BENCH_REPS", "5"))
+    d, dt = 0.5, 1.5
+    import tempfile
+
+    particles_load.seed(0)
+    cfg = Config.from_json({
+        "Simulation": "eccapfim",
+        "OutputDirectory": tempfile.mkdtemp(prefix="xpic_bench_fim_"),
+        "Geometry": {
+            "x": n_side * d, "y": n_side * d, "z": n_side * d,
+            "t": (steps + 1) * dt,
+            "dx": d, "dy": d, "dz": d, "dt": dt,
+            "diagnose_period": (steps + 1) * dt,
+            "da_boundary_x": "DM_BOUNDARY_PERIODIC",
+            "da_boundary_y": "DM_BOUNDARY_PERIODIC",
+            "da_boundary_z": "DM_BOUNDARY_PERIODIC",
+        },
+        "Particles": [
+            {"sort_name": "electrons", "Np": ppc, "n": 1.0, "q": -1.0,
+             "m": 1.0, "T": 0.1}
+        ],
+        "Presets": [
+            {"command": "SetParticles", "particles": "electrons",
+             "coordinate": {"name": "CoordinateInBox"},
+             "momentum": {"name": "MaxwellianMomentum", "tov": True}}
+        ],
+        "Diagnostics": [],
+    })
+    sim = build_simulation(cfg)
+    sim.initialize()
+    n = sum(sp.n for sp in sim.species)
+
+    # warmup/compile: one step
+    sim.timestep_implementation(1)
+    outer0 = len(sim.conv_history) - 1
+    t0 = _time.perf_counter()
+    outer = []
+    cn = []
+    for t in range(2, steps + 2):
+        sim.timestep_implementation(t)
+        outer.append(len(sim.conv_history) - 1)
+        cn.append(float(sim.species[0].cn_iterations))
+    elapsed = (_time.perf_counter() - t0) / steps
+    sim.finalize()
+
+    throughput = n / elapsed
+    print(json.dumps({
+        "metric": "eccapfim_particle_push_throughput",
+        "value": throughput,
+        "unit": "particle-steps/s/chip",
+        "vs_baseline": throughput / BASELINE_PARTICLES_PER_S,
+        "extras": {
+            "dtype": "float64" if os.environ.get("BENCH_X64") == "1"
+                     else "float32",
+            "step_ms": elapsed * 1e3,
+            "outer_iters_per_step": float(_np.mean(outer)),
+            "warmup_outer_iters": outer0,
+            "cn_iters_per_sweep": float(_np.mean(cn)),
+        },
+    }))
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get("BENCH_SCHEME") == "eccapfim":
+        bench_eccapfim()
+        return
     import jax.numpy as jnp
 
     from xpic_tpu.config import Geometry

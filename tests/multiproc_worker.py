@@ -14,10 +14,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Same zstd hazard as tests/conftest.py: several workers write the
+# compile cache concurrently, which is exactly the regime that
+# segfaulted in jaxlib's zstd layer — block it so jax falls back to
+# zlib, and keep the cache dir run-private (XPIC_TEST_CACHE from the
+# spawning test).
+sys.modules.setdefault("zstandard", None)
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/xpic_jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("XPIC_TEST_CACHE", "/tmp/xpic_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 
@@ -40,9 +48,10 @@ def main() -> None:
 
     particles_load.seed(7)
     out = os.environ["XPIC_TEST_OUT"]
+    scheme = os.environ.get("XPIC_TEST_SCHEME", "ecsim")
     steps, dt = 3, 1.5
     doc = {
-        "Simulation": "ecsim",
+        "Simulation": scheme,
         "OutputDirectory": out,
         "Mesh": n_global,
         "Geometry": {

@@ -16,6 +16,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(ROOT, "tests", "multiproc_worker.py")
@@ -58,9 +59,14 @@ def _read_table(path):
     return header, rows
 
 
-def test_two_process_run_matches_single_process(tmp_path):
+@pytest.mark.parametrize("scheme", ["ecsim", "ecsimcorr"])
+def test_two_process_run_matches_single_process(tmp_path, scheme):
+    """Both ECSIM variants under the 2-process bar: ecsimcorr adds the
+    lambda-renormalization psums (corr_w/pred_w reductions spanning
+    processes, src/impls/ecsimcorr/particles.cpp:85,148)."""
     port = _free_port()
     nproc = 2
+    cache = str(tmp_path / "jax_cache")
     procs = []
     for pid in range(nproc):
         env = _clean_env(
@@ -70,12 +76,14 @@ def test_two_process_run_matches_single_process(tmp_path):
             XPIC_NUM_PROCESSES=str(nproc),
             XPIC_PROCESS_ID=str(pid),
             XPIC_TEST_OUT=str(tmp_path / f"proc{pid}"),
+            XPIC_TEST_SCHEME=scheme,
+            XPIC_TEST_CACHE=cache,
         )
         procs.append(subprocess.Popen(
             [sys.executable, WORKER], env=env, cwd=ROOT,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         ))
-    outs = [p.communicate(timeout=1100)[0] for p in procs]
+    outs = [p.communicate(timeout=2300)[0] for p in procs]
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (
             f"worker {pid} failed (rc={p.returncode}):\n{out[-4000:]}"
@@ -88,11 +96,13 @@ def test_two_process_run_matches_single_process(tmp_path):
         XLA_FLAGS="--xla_force_host_platform_device_count=4",
         XPIC_NUM_PROCESSES="1",
         XPIC_TEST_OUT=str(tmp_path / "single"),
+        XPIC_TEST_SCHEME=scheme,
+        XPIC_TEST_CACHE=cache,
         XPIC_ROOT=ROOT,
     )
     single = subprocess.run(
         [sys.executable, "-c", _SINGLE_DRIVER], env=env, cwd=ROOT,
-        capture_output=True, text=True, timeout=1100,
+        capture_output=True, text=True, timeout=2300,
     )
     assert single.returncode == 0, (
         single.stdout[-2000:] + single.stderr[-2000:]

@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 
-def _run_small(tmp_path):
+def _run_small(tmp_path, extra_diags=()):
     from xpic_tpu.config import Config
     from xpic_tpu.schemes import build_simulation
 
@@ -33,7 +33,8 @@ def _run_small(tmp_path):
              "coordinate": {"name": "CoordinateInBox"},
              "momentum": {"name": "MaxwellianMomentum", "tov": True}}
         ],
-        "Diagnostics": [{"diagnostic": "FieldView", "field": "E"}],
+        "Diagnostics": [{"diagnostic": "FieldView", "field": "E"}]
+        + list(extra_diags),
     }
     cfg = Config.from_json(doc)
     with open(tmp_path / "config.json", "w") as fh:
@@ -158,3 +159,34 @@ def test_magnetic_tube_uniform_field():
     data = np.full((zs, xs), 7.0)
     avg = average_over_tube(data, xmap, xc, dx=0.5)
     np.testing.assert_allclose(avg, 7.0, rtol=1e-12)
+
+
+def test_render_pipeline_smoke(tmp_path):
+    """The batch render driver (reference basic_run.py + basic_ffmpeg.py
+    analog): a finished 2-dump run yields one frame per dump per set and
+    a playable movie per set — via ffmpeg when available, otherwise the
+    built-in MJPEG/AVI muxer."""
+    from tools.data_format import RunInfo
+    from tools.render import render_all
+
+    doc, cfg = _run_small(tmp_path, extra_diags=[
+        {"diagnostic": "DistributionMoment", "particles": "electrons",
+         "moment": "density"},
+    ])
+    run = RunInfo.load(os.path.join(cfg.out_dir, "config.json"))
+    movies = render_all(run, workers=2)
+
+    assert set(movies) == {"fields", "info_electrons"}
+    for name, path in movies.items():
+        frames = sorted(os.listdir(
+            os.path.join(cfg.out_dir, "processed", name)))
+        n_dumps = len(list(run.times()))
+        assert len(frames) == n_dumps >= 2
+        assert os.path.getsize(path) > 1000
+        with open(path, "rb") as fh:
+            head = fh.read(12)
+        assert head[:4] == b"RIFF" and head[8:12] == b"AVI " or \
+            path.endswith(".mp4")
+    # temporal plots were produced alongside
+    assert os.path.exists(os.path.join(cfg.out_dir, "processed",
+                                       "energy_conservation.png"))

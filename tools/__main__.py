@@ -1,9 +1,10 @@
 """CLI: render field frames / temporal plots for a finished run.
 
 Usage:
+    python -m tools <config.json> render            # every set + movies
     python -m tools <config.json> fields E B        # frame per dump time
     python -m tools <config.json> temporal          # conserved-props plots
-    python -m tools <config.json> movie fields      # ffmpeg assembly
+    python -m tools <config.json> movie fields      # movie assembly
 """
 
 from __future__ import annotations
@@ -39,7 +40,18 @@ def main(argv: list[str]) -> int:
     elif mode == "movie":
         name = argv[2] if len(argv) > 2 else "fields"
         out = make_movie(run, name)
-        print(out or "ffmpeg not available")
+        if out is None:  # no ffmpeg: built-in MJPEG muxer
+            from .render import assemble_movie
+
+            out = assemble_movie(run, name)
+        print(out)
+    elif mode == "render":
+        # the batch driver: every discovered set + movies + temporal
+        # plots (reference: basic_run.py + basic_ffmpeg.py)
+        from .render import render_all
+
+        for name, path in render_all(run, workers=4).items():
+            print(f"{name}: {path}")
     else:
         print(__doc__)
         return 1

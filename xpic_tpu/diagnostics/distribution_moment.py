@@ -72,7 +72,7 @@ class DistributionMoment:
         self.dof = MOMENT_DOF[moment]
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
-        self._collect = self._make_collect()
+        self._collect = None  # built lazily (after .region is known)
 
     @classmethod
     def from_json(cls, simulation, info):
@@ -111,6 +111,31 @@ class DistributionMoment:
         geom = self.simulation.geom
         params = self.species.params
         moment = self.moment
+        region = self.region
+
+        if region is not None:
+            # Region-local deposit (the reference's reduced-dof DA,
+            # distribution_moment.cpp:125-155): gather only the cell
+            # rows intersecting the region dilated by the deposit's
+            # 1-cell spline halo (with periodic wrap — edge halo rows
+            # ARE the periodic-image contributions) and deposit them
+            # into a +2-padded sub-box whose cell-anchored windows
+            # never wrap.  Cost scales with the region, not the grid,
+            # and only the region crosses to the host.
+            (sx, sy, sz), (rx, ry, rz) = region
+            zs = np.arange(sz - 1, sz + rz + 1) % geom.nz
+            ys = np.arange(sy - 1, sy + ry + 1) % geom.ny
+            xs = np.arange(sx - 1, sx + rx + 1) % geom.nx
+            rows = jnp.asarray(
+                ((zs[:, None, None] * geom.ny + ys[None, :, None])
+                 * geom.nx + xs[None, None, :]).reshape(-1),
+                jnp.int32)
+            sub_geom = Geometry(
+                dx=geom.dx, dy=geom.dy, dz=geom.dz, dt=geom.dt,
+                nx=rx + 2, ny=ry + 2, nz=rz + 2, nt=1)
+        else:
+            rows = None
+            sub_geom = geom
 
         @jax.jit
         def collect(st):
@@ -119,16 +144,22 @@ class DistributionMoment:
             vals = _moment_values(
                 moment, params, st.r * d, st.p, geom.Lx, geom.Ly
             )
+            valid = st.valid
+            if rows is not None:
+                t, vals, valid = t[rows], vals[rows], valid[rows]
             outs = []
             for j in range(vals.shape[-1]):
                 outs.append(
                     deposit_scalar(
                         vals[..., j] * params.n_Np,
-                        t, st.valid, geom, order=1, width=3, anchor=-1,
+                        t, valid, sub_geom, order=1, width=3, anchor=-1,
                         stag=True,
                     )
                 )
-            return jnp.stack(outs, axis=-1)  # [nz, ny, nx, dof]
+            out = jnp.stack(outs, axis=-1)  # [nz', ny', nx', dof]
+            if rows is not None:
+                out = out[1:-1, 1:-1, 1:-1, :]
+            return out
 
         return collect
 
@@ -138,13 +169,12 @@ class DistributionMoment:
         sim = self.simulation
         if t % sim.geom.diagnose_period != 0:
             return
+        if self._collect is None:
+            self._collect = self._make_collect()
         data = np.asarray(
             self._collect(self.simulation.binned(self.species)),
             dtype=np.float32,
         )
-        if self.region is not None:
-            (sx, sy, sz), (nx, ny, nz) = self.region
-            data = data[sz : sz + nz, sy : sy + ny, sx : sx + nx, :]
         from .io import binary_dump
 
         binary_dump(os.path.join(self.out_dir, format_time(t, sim.geom.nt)),

@@ -63,6 +63,17 @@ RTOL = 1e-7
 MAXIT = 1000
 CN_MAXIT = 30
 CN_TOL = 0.5 * ATOL
+# The f32 speed path cannot reach the reference's f64 budgets; it
+# solves to the dtype's achievable floor instead (same policy as the
+# ecsim KSP tolerance, schemes/ecsim.py).  The outer criterion is RMS
+# per dof (the L2 norm grows with sqrt(n), and the f32 deposit/sweep
+# roundoff floor grows with it — measured: the 32^3 bench stalls at
+# |G| ~ 1.5e-5 while a 6^3 box reaches 1e-6).
+ATOL_F32 = 1e-5  # per sqrt(dof)
+# Per-particle Picard floor: at the bench shape a ~1e-5 tail of
+# particles sits near field nodes where the f32 gather jitter stalls
+# the iteration around 1e-5; 2e-5 clears it with margin.
+CN_TOL_F32 = 2e-5
 
 
 def _segment_fields(Eblk, Bblk, t0, tn):
@@ -101,8 +112,9 @@ def _cn_sweep(Eblk, Bblk, t0, p0, valid, dt, qm, d_steps):
             (pn - p0) - dt * qm * (E_p + jnp.cross(vh, B_p)), axis=-1
         )
 
+    cn_tol = CN_TOL if p0.dtype == jnp.float64 else CN_TOL_F32
     res0 = residue(p0, p0, E_p, B_p)
-    target = CN_TOL + CN_TOL * res0
+    target = cn_tol + cn_tol * res0
     alpha = 0.5 * dt * qm
 
     def body(state):
@@ -212,71 +224,80 @@ class EccapfimSimulation(Simulation):
 
         self.diagnostics.append(ConvergenceHistory(self))
 
-    def _residual(self, E_hk):
-        """F(E_hk) for the nonlinear solve (form_function,
-        eccapfim/simulation.cpp:200-246, SNES_ITERATE_B == 0 branch)."""
-        geom = self.geom
-        J = jnp.zeros_like(self.J)
-        self._pending_state = []
-        self._max_disp = jnp.zeros(())
-        self._nonconv = jnp.zeros((), jnp.int32)
-        for sp in self.species:
-            if sp.n == 0:
-                self._pending_state.append(None)
-                continue
-            J_s, r_new_g, pn, avg_it, nonconv, max_disp = _form_species(
-                E_hk, self.B, sp.state, geom,
-                sp.params.qm, sp.params.q * sp.params.n_Np,
-            )
-            J = J + J_s
-            # Keep the per-species current: the reference stores J per
-            # species (src/interfaces/particles.h:20) and the
-            # charge-conservation columns are species-local.
-            self._pending_state.append((r_new_g, pn, J_s))
-            sp.cn_iterations = float(avg_it)
-            self._max_disp = jnp.maximum(self._max_disp, max_disp)
-            self._nonconv = self._nonconv + nonconv.astype(jnp.int32)
-        self._J_last = J
+    def _fused_residual(self):
+        """Build (once) the fully fused preconditioned-residual jit.
 
-        steps, bounds = geom.cell_steps, geom.bounds
-        F = (
-            E_hk
-            + 0.25 * geom.dt**2
-            * curl_negative(curl_positive(E_hk, steps, bounds), steps, bounds)
-            - self.E
-            + 0.5 * geom.dt * J
-            - 0.5 * geom.dt * curl_negative(self.B, steps, bounds)
-        )
-        return F
+        One device dispatch evaluates every species' Crank-Nicolson
+        sweep + current deposit, the Maxwell residual F, and the
+        Chebyshev-preconditioned G = 2 M^{-1} F (form_function,
+        eccapfim/simulation.cpp:200-246) — the round-3 version ran the
+        curls and the preconditioner as ~10 eager ops per evaluation,
+        each paying the backend's ~1.6 ms dispatch.  Per-species
+        byproducts (J_s, candidate states, CN stats) ride along as
+        device outputs; nothing syncs until after the solve.
 
-    def _preconditioned_residual(self):
-        """M^{-1} F with M = I + dt^2/4 curl- curl+ — the stiff linear
-        part of F.  The raw fixed point x <- x - F(x) has spectral
-        radius ~ dt^2 lam_max(curlcurl)/4 (27 at the golden config's
-        dt=1.5, dx=0.5) and diverges; preconditioning by the Chebyshev
-        inverse (solvers/spectral.py) leaves only the O(dt) plasma
-        response, which Anderson contracts in a handful of iterations.
-        This is the role the reference's NGMRES+EW inner solves play
-        (eccapfim/simulation.cpp:358-392).  Returns (G_fn, bound) where
-        ``bound`` is the spectral bound ||M||: testing ||M^{-1}F|| <=
-        tol/bound guarantees the reference's ||F|| <= tol budget.
+        Preconditioning: M = I + dt^2/4 curl- curl+ is the stiff
+        linear part of F.  The raw fixed point x <- x - F(x) has
+        spectral radius ~ dt^2 lam_max(curlcurl)/4 (27 at the golden
+        config) and diverges; the Chebyshev inverse
+        (solvers/spectral.py) leaves only the O(dt) plasma response,
+        which Anderson contracts in a handful of iterations — the role
+        of the reference's NGMRES+EW inner solves
+        (eccapfim/simulation.cpp:358-392).
         """
+        fn = getattr(self, "_fused_residual_fn", None)
+        if fn is not None:
+            return fn
+        import math
+
+        from functools import partial as _partial
+
         from ..solvers.spectral import make_matM_preconditioner
 
         geom = self.geom
-        import math
-
+        params = tuple(
+            (sp.params.qm, sp.params.q * sp.params.n_Np)
+            for sp in self.species if sp.n > 0
+        )
         # matM in spectral.py is (2 + shift) I + (dt'^2/2) curlcurl;
         # with dt' = dt/sqrt(2):  matM = 2 I + (dt^2/2) curlcurl = 2 M.
         P = make_matM_preconditioner(geom, geom.dt / math.sqrt(2.0))
+        steps, bounds = geom.cell_steps, geom.bounds
+
+        @_partial(jax.jit, static_argnums=())
+        def fused(E_hk, E, B, states):
+            J = jnp.zeros_like(E)
+            pend, its = [], []
+            max_disp = jnp.zeros((), E.dtype)
+            nonconv = jnp.zeros((), jnp.int32)
+            for st, (qm, a0) in zip(states, params):
+                J_s, r_new_g, pn, avg_it, nc, md = _form_species(
+                    E_hk, B, st, geom, qm, a0)
+                J = J + J_s
+                # Keep the per-species current: the reference stores J
+                # per species (src/interfaces/particles.h:20) and the
+                # charge-conservation columns are species-local.
+                pend.append((r_new_g, pn, J_s))
+                its.append(avg_it)
+                max_disp = jnp.maximum(max_disp, md)
+                nonconv = nonconv + nc.astype(jnp.int32)
+            F = (
+                E_hk
+                + 0.25 * geom.dt**2
+                * curl_negative(curl_positive(E_hk, steps, bounds),
+                                steps, bounds)
+                - E
+                + 0.5 * geom.dt * J
+                - 0.5 * geom.dt * curl_negative(B, steps, bounds)
+            )
+            G = 2.0 * P(F, 0.0)
+            return G, (J, tuple(pend), jnp.stack(its) if its else
+                       jnp.zeros(0), max_disp, nonconv)
+
         lam_cc = 4.0 * (1.0 / geom.dx**2 + 1.0 / geom.dy**2
                         + 1.0 / geom.dz**2)
-        bound = 1.0 + 0.25 * geom.dt**2 * lam_cc
-
-        def G(x):
-            return 2.0 * P(self._residual(x), 0.0)
-
-        return G, float(bound)
+        self._fused_residual_fn = (fused, 1.0 + 0.25 * geom.dt**2 * lam_cc)
+        return self._fused_residual_fn
 
     def timestep_implementation(self, t: int) -> None:
         geom = self.geom
@@ -284,11 +305,27 @@ class EccapfimSimulation(Simulation):
 
         # init_iteration: guess E^{n+1/2,0} = E^n
         # (eccapfim/simulation.cpp:46-66).
-        G, bound = self._preconditioned_residual()
+        fused, bound = self._fused_residual()
+        states = tuple(sp.state for sp in self.species if sp.n > 0)
+        sim = self
+
+        def G(x):
+            g, out = fused(x, sim.E, sim.B, states)
+            sim._last_out = out  # device-side; synced after the solve
+            return g
+
+        if self.E.dtype == jnp.float64:
+            tol = ATOL
+        else:
+            import math as _math
+
+            tol = ATOL_F32 * _math.sqrt(self.E.size)
         result = anderson_solve(
-            G, self.E, atol=ATOL / bound, rtol=RTOL / bound,
+            G, self.E, atol=tol / bound, rtol=tol / bound,
             maxit=MAXIT, m=10,
         )
+        J_last, pend, its, max_disp_d, nonconv_d = self._last_out
+        self._J_last = J_last
         self.conv_history = result.history
         self.phase_timings["calc_iteration"] = time.perf_counter() - t0
         # Flagged-error surfacing for the committed (last) particle sweep:
@@ -296,7 +333,17 @@ class EccapfimSimulation(Simulation):
         # split to be exact, and every particle's CN Picard iteration must
         # have converged (the reference aborts on both,
         # cell_traversal.cpp / crank_nicolson_push.cpp:69-70).
-        max_disp = float(self._max_disp)
+        stats = np.asarray(jnp.concatenate([
+            jnp.stack([max_disp_d.astype(jnp.float64
+                                         if jax.config.jax_enable_x64
+                                         else jnp.float32),
+                       nonconv_d.astype(max_disp_d.dtype)]),
+            its.astype(max_disp_d.dtype),
+        ]))
+        max_disp, nonconv = float(stats[0]), int(stats[1])
+        for sp, it_count in zip(
+                (s for s in self.species if s.n > 0), stats[2:]):
+            sp.cn_iterations = float(it_count)
         if max_disp >= 1.0:
             raise RuntimeError(
                 f"eccapfim: particle moved {max_disp:.2f} cells along one "
@@ -304,7 +351,6 @@ class EccapfimSimulation(Simulation):
                 f"segment split; reduce dt (v_th dt/dx guard) or the "
                 f"field amplitude"
             )
-        nonconv = int(self._nonconv)
         if nonconv:
             raise RuntimeError(
                 f"eccapfim: Crank-Nicolson iteration did not converge for "
@@ -331,11 +377,12 @@ class EccapfimSimulation(Simulation):
 
         # Commit particle states from the last residual evaluation
         # (evaluated at the converged solution) and wrap coordinates.
-        for sp, pending in zip(self.species, self._pending_state):
-            if pending is None:
+        pend_iter = iter(pend)
+        for sp in self.species:
+            if sp.n == 0:
                 sp.J = jnp.zeros_like(self.J)
                 continue
-            r_new_g, pn, J_s = pending
+            r_new_g, pn, J_s = next(pend_iter)
             sp.state, load = _commit_state(
                 BinnedState(r=r_new_g, p=pn, valid=sp.state.valid), geom,
                 self.mesh,

@@ -24,6 +24,7 @@ the half-drift phases migrate with a capacity-checked rebin.
 
 from __future__ import annotations
 
+import logging
 import time
 from functools import partial
 
@@ -48,6 +49,8 @@ from ..ops.stencil import curl_negative, curl_positive
 from ..pushers import update_vEB
 from ..solvers import cg
 from .ecsim import ATOL, MAXIT, RTOL, EcsimSimulation, _final_update
+
+log = logging.getLogger("xpic")
 
 
 @partial(jax.jit, static_argnames=("geom", "alpha", "mesh"),
@@ -205,6 +208,22 @@ class EcsimcorrSimulation(EcsimSimulation):
                 f"ecsimcorr correct solve did not converge: |r|={float(rnorm):.3e}"
             )
 
+    def _matL_apply(self, x):
+        """Apply the step's accumulated mass matrix in whichever
+        representation the active strategy produced (dense blocks or
+        the matrix-free operand tuple)."""
+        if isinstance(self._L, tuple):
+            from ..ops.mass_free import MassOp, mass_apply
+
+            ops, _ = self._L
+            if isinstance(ops, MassOp):
+                ops = (ops,)
+            return mass_apply(x, ops, self.geom) if ops \
+                else jnp.zeros_like(x)
+        from ..ops.ecsim_blocks import apply_blocks
+
+        return apply_blocks(self._L, x, self.geom)
+
     def final_update(self) -> None:
         for sp in self.species:
             if sp.n == 0:
@@ -221,6 +240,17 @@ class EcsimcorrSimulation(EcsimSimulation):
                 lambda_dK=float(s[0]), pred_dK=float(s[1]),
                 corr_dK=float(s[2]), pred_w=float(s[3]), corr_w=float(s[4]),
             )
+
+        # Scheme-health invariant: the ECSIM current evaluated at the
+        # corrected field must match the Esirkepov current,
+        # ||currJe - (currI + matL Ec)|| (ecsimcorr/simulation.cpp:76-83)
+        # — computed before the swap, with the matrix-free apply on the
+        # f32 speed path (no L blocks ever materialize).
+        self.current_consistency_norm = float(jnp.linalg.norm(
+            (self.currJe - (self.currI + self._matL_apply(self.Ec))
+             ).ravel()))
+        log.info("  Norm of the difference in ECSIM and Esirkepov "
+                 "currents: %.7f", self.current_consistency_norm)
 
         self.Ep, self.Ec = self.Ec, self.Ep  # VecSwap (ecsimcorr/simulation.cpp:85)
         self.E, self.B = _final_update(self.E, self.B, self.Ep, self.geom)
