@@ -22,7 +22,8 @@ NP_PER_CELL = 10
 N_REF = 1.0
 
 
-def make_sim(tmp_path, diagnostics, nt=2, name="diag"):
+def make_sim(tmp_path, diagnostics, nt=2, name="diag",
+             bound="DM_BOUNDARY_PERIODIC"):
     doc = {
         "Simulation": "ecsim",
         "OutputDirectory": str(tmp_path / name),
@@ -30,9 +31,9 @@ def make_sim(tmp_path, diagnostics, nt=2, name="diag"):
             "x": 4.0, "y": 4.0, "z": 4.0, "t": nt * 1.5,
             "dx": 0.5, "dy": 0.5, "dz": 0.5, "dt": 1.5,
             "diagnose_period": 1,
-            "da_boundary_x": "DM_BOUNDARY_PERIODIC",
-            "da_boundary_y": "DM_BOUNDARY_PERIODIC",
-            "da_boundary_z": "DM_BOUNDARY_PERIODIC",
+            "da_boundary_x": bound,
+            "da_boundary_y": bound,
+            "da_boundary_z": bound,
         },
         "Particles": [
             {"sort_name": "electrons", "Np": NP_PER_CELL, "n": N_REF,
@@ -130,6 +131,33 @@ def test_distribution_moment_region_is_slice_of_full(tmp_path):
     assert reg.size == 5 * 3 * 4
     np.testing.assert_array_equal(
         reg.reshape(5, 3, 4), full[0:5, 2:5, 1:5])
+
+
+def test_distribution_moment_region_nonperiodic_edge(tmp_path):
+    """A region touching the domain boundary on reflective axes must NOT
+    deposit periodic-image contributions into its edge cells: the
+    region-local deposit is exactly the cropped full-grid deposit
+    (advisor r4 medium finding; the reference's reduced-dof DA inherits
+    the DM's boundary type, distribution_moment.cpp:125-155)."""
+    sim = make_sim(tmp_path, [
+        {"diagnostic": "DistributionMoment", "particles": "electrons",
+         "moment": "density"},
+        {"diagnostic": "DistributionMoment", "particles": "electrons",
+         "moment": "density",
+         "region": {"suffix": "edge",
+                    "start": ["0 [dx]", "0 [dy]", "0 [dz]"],
+                    "size": ["4 [dx]", "3 [dy]", "8 [dz]"]}},
+    ], name="diag_region_refl", nt=1, bound="DM_BOUNDARY_REFLECTIVE")
+    sim.calculate()
+    sim.finalize()
+    g = sim.geom
+    base = os.path.join(sim.cfg.out_dir, "electrons")
+    full = np.fromfile(os.path.join(base, "density", "0"),
+                       dtype=np.float32).reshape(g.nz, g.ny, g.nx)
+    reg = np.fromfile(os.path.join(base, "density_edge", "0"),
+                      dtype=np.float32)
+    assert reg.size == 8 * 3 * 4
+    np.testing.assert_array_equal(reg.reshape(8, 3, 4), full[0:8, 0:3, 0:4])
 
 
 # -- VelocityDistribution -------------------------------------------------------

@@ -123,13 +123,30 @@ class DistributionMoment:
             # never wrap.  Cost scales with the region, not the grid,
             # and only the region crosses to the host.
             (sx, sy, sz), (rx, ry, rz) = region
-            zs = np.arange(sz - 1, sz + rz + 1) % geom.nz
-            ys = np.arange(sy - 1, sy + ry + 1) % geom.ny
-            xs = np.arange(sx - 1, sx + rx + 1) % geom.nx
+            zs = np.arange(sz - 1, sz + rz + 1)
+            ys = np.arange(sy - 1, sy + ry + 1)
+            xs = np.arange(sx - 1, sx + rx + 1)
+            # Halo rows wrap ONLY on periodic axes (edge halo rows ARE
+            # the periodic-image contributions there); on reflective/
+            # open axes out-of-domain halo rows contribute nothing —
+            # matching deposit_scalar's zero-outside behavior on the
+            # full grid — so they are masked dead instead of wrapped.
+            from ..config import PERIODIC
+
+            halo_ok = np.ones((len(zs), len(ys), len(xs)), bool)
+            for ax, idx in ((0, xs), (1, ys), (2, zs)):
+                n = (geom.nx, geom.ny, geom.nz)[ax]
+                if geom.bounds[ax] != PERIODIC:
+                    in_dom = (idx >= 0) & (idx < n)
+                    shape = [1, 1, 1]
+                    shape[2 - ax] = len(idx)
+                    halo_ok &= in_dom.reshape(shape)
+            zs, ys, xs = zs % geom.nz, ys % geom.ny, xs % geom.nx
             rows = jnp.asarray(
                 ((zs[:, None, None] * geom.ny + ys[None, :, None])
                  * geom.nx + xs[None, None, :]).reshape(-1),
                 jnp.int32)
+            halo_ok = jnp.asarray(halo_ok.reshape(-1))
             sub_geom = Geometry(
                 dx=geom.dx, dy=geom.dy, dz=geom.dz, dt=geom.dt,
                 nx=rx + 2, ny=ry + 2, nz=rz + 2, nt=1)
@@ -146,7 +163,8 @@ class DistributionMoment:
             )
             valid = st.valid
             if rows is not None:
-                t, vals, valid = t[rows], vals[rows], valid[rows]
+                t, vals = t[rows], vals[rows]
+                valid = valid[rows] & halo_ok[:, None]
             outs = []
             for j in range(vals.shape[-1]):
                 outs.append(

@@ -315,14 +315,18 @@ class EccapfimSimulation(Simulation):
             return g
 
         if self.E.dtype == jnp.float64:
-            tol = ATOL
+            atol = rtol = ATOL / bound
         else:
             import math as _math
 
-            tol = ATOL_F32 * _math.sqrt(self.E.size)
+            # RMS-scaled absolute floor only; the relative target stays
+            # at the documented RTOL so a step with initial residual
+            # r0 > 1 does not converge to a looser-than-RMS threshold
+            # (advisor r4 finding).
+            atol = ATOL_F32 * _math.sqrt(self.E.size) / bound
+            rtol = RTOL / bound
         result = anderson_solve(
-            G, self.E, atol=tol / bound, rtol=tol / bound,
-            maxit=MAXIT, m=10,
+            G, self.E, atol=atol, rtol=rtol, maxit=MAXIT, m=10,
         )
         J_last, pend, its, max_disp_d, nonconv_d = self._last_out
         self._J_last = J_last
