@@ -1,0 +1,193 @@
+"""Weak-scaling + communication-volume observable for the fused ECSIM
+step (the >=80% multi-host scaling north star, BASELINE.json).
+
+Real multi-chip hardware is not reachable from this session, so the two
+measurables that predict pod-slice efficiency are captured instead:
+
+1. **Weak scaling on the virtual CPU mesh**: the fused step at a FIXED
+   per-device load (one z-block of cells + its particles per device) on
+   1/2/4/8 devices.  Ideal weak scaling keeps the step time constant;
+   the CPU numbers are indicative only (host cores != chips, memcpy
+   != ICI) but catch algorithmic O(devices) serial work.
+
+2. **Collective bytes per step per device from the sharded HLO** — the
+   hardware-independent number: every collective-permute / all-reduce /
+   all-gather / reduce-scatter op's output bytes in the optimized HLO
+   of ONE fused step.  Halo exchanges must scale with the cut surface
+   (ny*nx), not the volume: the test in tests/test_multichip.py holds
+   this O(halo) contract (doubling nz at fixed sharding must not grow
+   collective bytes).
+
+   Ratio to step compute time on a v5e: with ICI at ~4.5e10 B/s per
+   link, comm_bytes / 4.5e10 << t_step means the decomposition is
+   compute-bound and the >=80% target is in reach.
+
+Reference anchor: decomposition transparency re-runs under
+``mpiexec -np 2`` (/root/reference/tests/ecsim/CMakeLists.txt:16-18)
+and PETSc's DMDA halo exchange (src/utils/world.cpp:36-46).
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     python benchmarks/profile_scaling.py
+"""
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("XPIC_X64", "0")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+_ITEM = {"f32": 4, "f64": 8, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+         "s64": 8, "u64": 8, "s8": 1, "u8": 1, "pred": 1, "s16": 2,
+         "u16": 2, "c64": 8, "c128": 16}
+_COLLECTIVES = ("collective-permute", "all-reduce", "all-gather",
+                "reduce-scatter", "all-to-all")
+_TY_RE = re.compile(r"([a-z]+\d*)\[([\d,]*)\]")
+
+
+def collective_bytes(hlo_text: str) -> dict:
+    """Sum output bytes of every collective op in an optimized HLO
+    module (per-device: HLO shapes are shard-local post-SPMD)."""
+    per_op: dict[str, int] = {}
+    counts: dict[str, int] = {}
+    for line in hlo_text.splitlines():
+        op = next((c for c in _COLLECTIVES
+                   if f" {c}(" in line or f" {c}-start(" in line), None)
+        if op is None:
+            continue
+        head = line.split(op)[0]
+        if "=" not in head:
+            continue
+        rhs = head.split("=", 1)[1]
+        nbytes = 0
+        for ty, dims in _TY_RE.findall(rhs):
+            if ty not in _ITEM:
+                continue
+            size = 1
+            for d in dims.split(","):
+                if d:
+                    size *= int(d)
+            nbytes += size * _ITEM[ty]
+        per_op[op] = per_op.get(op, 0) + nbytes
+        counts[op] = counts.get(op, 0) + 1
+    return {"bytes_per_op": per_op, "counts": counts,
+            "total_bytes": sum(per_op.values())}
+
+
+def step_lowered(geom, st_shape_K, mesh, n_steps=1):
+    """Compile the fused multi-step on ``mesh``; returns (compiled,
+    example args) for one z-sharded run."""
+    from xpic_tpu.ops.binning import BinnedState
+    from xpic_tpu.parallel.mesh import shard_fields, state_sharding
+    from xpic_tpu.parallel.step import ecsim_step_binned
+
+    K = st_shape_K
+    rng = np.random.default_rng(0)
+    G = geom.n_cells
+    r = (rng.random((G, K, 3)) * 0.98 + 0.01).astype(np.float32)
+    # positions in grid units within each owning cell
+    g = np.arange(G, dtype=np.int64)
+    cx, cy, cz = g % geom.nx, (g // geom.nx) % geom.ny, g // (geom.nx * geom.ny)
+    base = np.stack([cx, cy, cz], -1).astype(np.float32)[:, None, :]
+    r = r + base
+    p = (rng.standard_normal((G, K, 3)) * 0.02).astype(np.float32)
+    valid = rng.random((G, K)) < 0.6
+
+    shape = (3, geom.nz, geom.ny, geom.nx)
+    E, B, B0 = shard_fields(mesh, jnp.zeros(shape, jnp.float32),
+                            jnp.zeros(shape, jnp.float32),
+                            jnp.zeros(shape, jnp.float32))
+    st = BinnedState(
+        r=jax.device_put(jnp.asarray(r), state_sharding(mesh, 3)),
+        p=jax.device_put(jnp.asarray(p), state_sharding(mesh, 3)),
+        valid=jax.device_put(jnp.asarray(valid), state_sharding(mesh, 2)),
+    )
+
+    def run(E, B, B0, st):
+        def body(carry, _):
+            E, B, st = carry
+            E2, B2, st2, _, it = ecsim_step_binned(
+                E, B, B0, st, geom, q=-1.0, m=1.0, mpw=0.1, mesh=mesh)
+            return (E2, B2, st2), it
+        (E, B, st), its = jax.lax.scan(body, (E, B, st), None,
+                                       length=n_steps)
+        return E, st.p, its
+
+    lowered = jax.jit(run).lower(E, B, B0, st)
+    return lowered.compile(), (E, B, B0, st)
+
+
+def main():
+    from xpic_tpu.config import Geometry
+    from xpic_tpu.parallel.mesh import make_mesh
+
+    nz_block = int(os.environ.get("SCALE_NZB", "8"))
+    ny = nx = int(os.environ.get("SCALE_NY", "16"))
+    K = int(os.environ.get("SCALE_K", "16"))
+    reps = int(os.environ.get("SCALE_REPS", "4"))
+
+    out = {"config": {"nz_block": nz_block, "ny": ny, "nx": nx, "K": K}}
+
+    # -- 1. weak scaling: fixed per-device load --------------------------
+    rows = []
+    t1 = None
+    for nd in (1, 2, 4, 8):
+        if nd > len(jax.devices()):
+            break
+        geom = Geometry(dx=0.5, dy=0.5, dz=0.5, dt=1.5,
+                        nx=nx, ny=ny, nz=nz_block * nd, nt=1)
+        mesh = make_mesh(nd)
+        compiled, args = step_lowered(geom, K, mesh, n_steps=reps)
+        r = compiled(*args)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        r = compiled(*args)
+        jax.block_until_ready(r)
+        dt_step = (time.perf_counter() - t0) / reps
+        if t1 is None:
+            t1 = dt_step
+        rows.append({"devices": nd, "nz": nz_block * nd,
+                     "step_ms": dt_step * 1e3,
+                     "weak_efficiency": t1 / dt_step})
+    out["weak_scaling"] = rows
+
+    # -- 2. collective bytes per step per device -------------------------
+    comm = {}
+    for label, nz_mult in (("base", 1), ("double_nz", 2)):
+        geom = Geometry(dx=0.5, dy=0.5, dz=0.5, dt=1.5,
+                        nx=nx, ny=ny, nz=nz_block * 8 * nz_mult, nt=1)
+        mesh = make_mesh(8)
+        compiled, _ = step_lowered(geom, K, mesh, n_steps=1)
+        cb = collective_bytes(compiled.as_text())
+        halo_bytes = 3 * ny * nx * 4  # one field halo plane
+        cb["halo_plane_bytes"] = halo_bytes
+        cb["bytes_per_halo_plane"] = cb["total_bytes"] / halo_bytes
+        comm[label] = cb
+    out["collective_bytes"] = comm
+    grow = (comm["double_nz"]["total_bytes"]
+            / max(comm["base"]["total_bytes"], 1))
+    out["volume_growth_factor"] = grow  # O(halo) contract: ~1.0, not ~2.0
+
+    # ICI-bound prediction for a v5e pod slice: time to move the per-step
+    # collective bytes at one ICI link vs the measured single-chip step.
+    out["ici_model"] = {
+        "ici_link_bytes_per_s": 4.5e10,
+        "comm_s_at_ici": comm["base"]["total_bytes"] / 4.5e10,
+    }
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

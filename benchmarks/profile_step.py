@@ -1,5 +1,6 @@
 """Per-phase timing of the fused ECSIM step at bench shape on the real chip."""
-import os, time, json
+import os, sys, time, json
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("XPIC_X64", "0")
 import jax, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/xpic_jax_cache")

@@ -49,13 +49,19 @@ def main() -> None:
     particles_load.seed(7)
     out = os.environ["XPIC_TEST_OUT"]
     scheme = os.environ.get("XPIC_TEST_SCHEME", "ecsim")
-    steps, dt = 3, 1.5
+    steps, dt, box = 3, 1.5, 4.0
+    if scheme == "eccapfim":
+        # The fully implicit scheme is ~2 orders costlier per step
+        # (Anderson outer x CN sweeps); a 6^3 box and 2 steps keep the
+        # 2-process bar affordable while still crossing shard
+        # boundaries (z-sharded over 4 devices).
+        steps, box = 2, 3.0
     doc = {
         "Simulation": scheme,
         "OutputDirectory": out,
         "Mesh": n_global,
         "Geometry": {
-            "x": 4.0, "y": 4.0, "z": 4.0, "t": steps * dt,
+            "x": box, "y": box, "z": box, "t": steps * dt,
             "dx": 0.5, "dy": 0.5, "dz": 0.5, "dt": dt,
             "diagnose_period": 1,
             "da_boundary_x": "DM_BOUNDARY_PERIODIC",

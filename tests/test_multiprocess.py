@@ -59,11 +59,15 @@ def _read_table(path):
     return header, rows
 
 
-@pytest.mark.parametrize("scheme", ["ecsim", "ecsimcorr"])
+@pytest.mark.parametrize("scheme", ["ecsim", "ecsimcorr", "basic",
+                                    "eccapfim"])
 def test_two_process_run_matches_single_process(tmp_path, scheme):
-    """Both ECSIM variants under the 2-process bar: ecsimcorr adds the
-    lambda-renormalization psums (corr_w/pred_w reductions spanning
-    processes, src/impls/ecsimcorr/particles.cpp:85,148)."""
+    """All four schemes under the 2-process bar (the reference re-runs
+    every golden under ``mpiexec -np 2``, tests/*/CMakeLists.txt):
+    ecsimcorr adds the lambda-renormalization psums (corr_w/pred_w
+    reductions spanning processes, ecsimcorr/particles.cpp:85,148);
+    eccapfim the Anderson outer solve's cross-process residual psums
+    (on a 6^3 box x 2 steps to bound cost)."""
     port = _free_port()
     nproc = 2
     cache = str(tmp_path / "jax_cache")

@@ -68,3 +68,41 @@ def test_anderson_nonlinear():
                          stol=1e-14, maxit=100)
     assert res.converged
     np.testing.assert_allclose(np.asarray(residual(res.x)), 0.0, atol=1e-9)
+
+
+def test_cheb_pallas_matches_xla(monkeypatch):
+    """The fused in-VMEM Chebyshev kernel (ops/pallas_stencil) must
+    reproduce the XLA recurrence of make_matM_preconditioner exactly
+    (same arithmetic, interpret mode off-TPU) for periodic and
+    zero-ghost bounds and a traced shift."""
+    import jax
+
+    from xpic_tpu.config import Geometry
+    from xpic_tpu.ops.pallas_stencil import (
+        cheb_matM_inv_pallas,
+        cheb_pallas_ok,
+    )
+    from xpic_tpu.solvers import spectral
+
+    rng = np.random.default_rng(11)
+    for bounds in [("periodic",) * 3,
+                   ("ghosted", "periodic", "reflective")]:
+        geom = Geometry(dx=0.5, dy=0.4, dz=0.6, dt=1.5,
+                        nx=16, ny=8, nz=8, nt=1, bounds=bounds)
+        assert cheb_pallas_ok(geom, jnp.float32)
+        rhs = jnp.asarray(
+            rng.standard_normal((3, geom.nz, geom.ny, geom.nx)),
+            jnp.float32)
+        # Reference: force the XLA form regardless of the host device
+        # count (the suite fixture forces 8 CPU devices).
+        monkeypatch.setattr(spectral, "_cheb_pallas_usable",
+                            lambda *a: False)
+        P = spectral.make_matM_preconditioner(geom, geom.dt,
+                                              dtype=jnp.float32)
+        ref = np.asarray(P(rhs, 0.37))
+        got = np.asarray(jax.jit(
+            lambda r, s: cheb_matM_inv_pallas(
+                r, s, geom=geom, degree=12, dt=geom.dt, interpret=True)
+        )(rhs, jnp.float32(0.37)))
+        np.testing.assert_allclose(got, ref,
+                                   rtol=2e-6, atol=2e-6 * np.abs(ref).max())

@@ -200,7 +200,8 @@ def empty_mass(geom: Geometry, dtype):
     return jnp.zeros((geom.n_cells, 3, 12, 3, 12), dtype)
 
 
-def advance_phase(E, B, B0, currI, mass, geom: Geometry, *, tol, maxit):
+def advance_phase(E, B, B0, currI, mass, geom: Geometry, *, tol, maxit,
+                  mesh=None):
     """rhs = 2E - dt currI + dt curl-(B - B0); solve matA Ep = rhs
     (advance_fields, src/impls/ecsim/simulation.cpp:191-278).
 
@@ -238,7 +239,7 @@ def advance_phase(E, B, B0, currI, mass, geom: Geometry, *, tol, maxit):
     rhs = 2.0 * E - dt * currI + dt * curl_negative(B - B0, steps, bounds)
     from ..solvers.spectral import make_matM_preconditioner
 
-    P = make_matM_preconditioner(geom, dt, dtype=E.dtype)
+    P = make_matM_preconditioner(geom, dt, dtype=E.dtype, mesh=mesh)
     M_inv = None
     if P is not None:
         if trace_total is None:
@@ -297,7 +298,7 @@ def ecsim_step_binned(E, B, B0, st: BinnedState, geom: Geometry,
     currI, mass, W, B_p = fill_phase(B, st, t, geom, q=q, m=m, mpw=mpw,
                                      mesh=mesh)
     sol = advance_phase(E, B, B0, currI, accumulate_mass(None, mass),
-                        geom, tol=tol, maxit=maxit)
+                        geom, tol=tol, maxit=maxit, mesh=mesh)
     Ep = sol.x
     st = push_phase(Ep, st, t, W, B_p, geom, qm=q / m, mesh=mesh)
 

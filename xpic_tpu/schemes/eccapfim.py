@@ -261,7 +261,8 @@ class EccapfimSimulation(Simulation):
         )
         # matM in spectral.py is (2 + shift) I + (dt'^2/2) curlcurl;
         # with dt' = dt/sqrt(2):  matM = 2 I + (dt^2/2) curlcurl = 2 M.
-        P = make_matM_preconditioner(geom, geom.dt / math.sqrt(2.0))
+        P = make_matM_preconditioner(geom, geom.dt / math.sqrt(2.0),
+                                     dtype=self.E.dtype, mesh=self.mesh)
         steps, bounds = geom.cell_steps, geom.bounds
 
         @_partial(jax.jit, static_argnums=())

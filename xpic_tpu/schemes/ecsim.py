@@ -82,8 +82,9 @@ def _fill_binned(B, st: BinnedState, geom: Geometry, q: float, m: float,
     return currI, L, W, B_p, t
 
 
-@partial(jax.jit, static_argnames=("geom", "maxit"))
-def _advance_fields(E, B, B0, currI, L, geom: Geometry, maxit: int = MAXIT):
+@partial(jax.jit, static_argnames=("geom", "maxit", "mesh"))
+def _advance_fields(E, B, B0, currI, L, geom: Geometry, maxit: int = MAXIT,
+                    mesh=None):
     """rhs = 2 E - dt currI + dt curl-(B - B0); solve matA Ep = rhs
     (ecsim/simulation.cpp:191-278).
 
@@ -96,7 +97,8 @@ def _advance_fields(E, B, B0, currI, L, geom: Geometry, maxit: int = MAXIT):
     tol = 1e-5 if E.dtype == jnp.float32 else ATOL
     if _TOL_OVERRIDE is not None and E.dtype != jnp.float32:
         tol = _TOL_OVERRIDE
-    sol = advance_phase(E, B, B0, currI, L, geom, tol=tol, maxit=maxit)
+    sol = advance_phase(E, B, B0, currI, L, geom, tol=tol, maxit=maxit,
+                        mesh=mesh)
     return sol.x, sol.iterations, sol.residual_norm, sol.converged
 
 
@@ -157,7 +159,8 @@ class EcsimSimulation(Simulation):
 
     def advance_fields(self) -> None:
         self.Ep, its, rnorm, ok = _advance_fields(
-            self.E, self.B, self.B0, self.currI, self._L, self.geom
+            self.E, self.B, self.B0, self.currI, self._L, self.geom,
+            mesh=self.mesh,
         )
         self._ksp_iters = int(its)
         self.ksp_history.append(self._ksp_iters)

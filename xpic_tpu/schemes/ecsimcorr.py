@@ -101,8 +101,8 @@ def _second_push_corr(Ep, B, st: BinnedState, geom: Geometry,
     return st2, J_inc, pred_w, load
 
 
-@partial(jax.jit, static_argnames=("geom",))
-def _correct_fields(E, B, B0, currJe, geom: Geometry):
+@partial(jax.jit, static_argnames=("geom", "mesh"))
+def _correct_fields(E, B, B0, currJe, geom: Geometry, mesh=None):
     """Solve matM Ec = 2 E - dt currJe + dt curl-(B - B0) by CG
     (matM is constant SPD; ecsimcorr/simulation.cpp:52-63,131-133)."""
     steps, bounds = geom.cell_steps, geom.bounds
@@ -119,7 +119,7 @@ def _correct_fields(E, B, B0, currJe, geom: Geometry):
     )
     from ..solvers.spectral import make_matM_preconditioner
 
-    P = make_matM_preconditioner(geom, geom.dt, dtype=E.dtype)
+    P = make_matM_preconditioner(geom, geom.dt, dtype=E.dtype, mesh=mesh)
     M_inv = (lambda v: P(v, 0.0)) if P is not None else None
     # The Chebyshev(12) preconditioner (solvers/spectral.py) collapses
     # the curl-curl spread; CG converges in a handful of iterations and
@@ -201,7 +201,7 @@ class EcsimcorrSimulation(EcsimSimulation):
 
     def correct_fields(self) -> None:
         self.Ec, its, rnorm, ok = _correct_fields(
-            self.E, self.B, self.B0, self.currJe, self.geom
+            self.E, self.B, self.B0, self.currJe, self.geom, mesh=self.mesh
         )
         if not bool(ok):
             raise RuntimeError(

@@ -141,18 +141,54 @@ def _make_fft_inverse(geom: Geometry, dt: float):
     return P_inv
 
 
+def _cheb_pallas_usable(geom: Geometry, dtype, mesh) -> bool:
+    """Route the Chebyshev recurrence through the fused single-dispatch
+    Pallas kernel (ops/pallas_stencil) when it is exact to do so: f32,
+    no mesh (under GSPMD the XLA shifts must become halo collectives),
+    a lane-tileable shape, and a single visible device (pl.pallas_call
+    has no SPMD partitioning rule; the multi-device CPU test fixture
+    keeps the XLA form)."""
+    from ..ops.pallas_stencil import cheb_pallas_ok
+
+    if _PRECOND_MODE == "nopallas" or mesh is not None:
+        return False
+    if dtype != jnp.float32 or jax.config.jax_enable_x64:
+        return False
+    if not cheb_pallas_ok(geom, dtype):
+        return False
+    try:
+        if len(jax.devices()) != 1:
+            return False
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend
+        return False
+    return platform in ("tpu", "axon", "cpu")
+
+
 def make_matM_preconditioner(geom: Geometry, dt: float, degree: int = 12,
-                             dtype=None):
+                             dtype=None, mesh=None):
     """Return P_inv(r, shift=0.0) ~ (matM + shift I)^{-1} r.
 
     Default: a degree-``degree`` Chebyshev semi-iteration (Saad,
-    Iterative Methods, Alg. 12.1); ``XPIC_PRECOND=fft`` swaps in the
-    exact rFFT inverse on fully periodic f32 boxes (see module
+    Iterative Methods, Alg. 12.1), fused into one Pallas dispatch when
+    eligible (:func:`_cheb_pallas_usable`); ``XPIC_PRECOND=fft`` swaps
+    in the exact rFFT inverse on fully periodic f32 boxes (see module
     docstring for why that is not the default)."""
     if (_PRECOND_MODE == "fft" and dtype == jnp.float32
             and all(b == PERIODIC for b in geom.bounds)):
         return _make_fft_inverse(geom, dt)
     degree = _CHEB_DEGREE if degree == 12 else degree
+    if _cheb_pallas_usable(geom, dtype, mesh):
+        from ..ops.pallas_stencil import cheb_matM_inv_pallas
+
+        interp = jax.devices()[0].platform not in ("tpu", "axon")
+
+        def P_inv_pallas(rhs, shift=0.0):
+            return cheb_matM_inv_pallas(rhs, shift, geom=geom,
+                                        degree=degree, dt=dt,
+                                        interpret=interp)
+
+        return P_inv_pallas
     steps, bounds = geom.cell_steps, geom.bounds
     beta = 0.5 * dt * dt
 
