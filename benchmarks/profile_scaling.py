@@ -38,7 +38,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("XPIC_X64", "0")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the virtual CPU mesh even when the session pins another
+# platform: the axon sitecustomize (PYTHONPATH=.axon_site) registers
+# the tunneled TPU plugin at interpreter startup and locks the CPU
+# device count to 1, so in-process env changes come too late — re-exec
+# without PYTHONPATH exactly as tests/conftest.py does.
+if (".axon_site" in os.environ.get("PYTHONPATH", "")
+        and os.environ.get("XPIC_SCALING_REEXECED") != "1"):
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["XPIC_SCALING_REEXECED"] = "1"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+os.environ["JAX_PLATFORMS"] = "cpu"
 if "host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")

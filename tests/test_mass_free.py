@@ -150,3 +150,34 @@ def test_mass_apply_is_jittable(state):
     np.testing.assert_allclose(np.asarray(y),
                                np.asarray(mass_apply(x, [op], geom)),
                                rtol=0, atol=1e-13)
+
+
+def test_mass_apply_pallas_matches_xla(state):
+    """The fused Pallas mass apply (ops/pallas_mass, interpret mode
+    off-TPU) must reproduce the XLA factored-hat chain on the same
+    packed operands."""
+    from xpic_tpu.ops.ecsim_blocks import gather_slots
+    from xpic_tpu.ops.mass_free import (
+        _axis_hats_planes,
+        _component_factors,
+        _deposit_component,
+        _gather_component,
+        _rotate,
+    )
+    from xpic_tpu.ops.pallas_mass import mass_apply_slots_pallas
+
+    geom, st, t, B_p, x = state
+    op = mass_operands(t, B_p, st.valid, q=Q, m=M, mpw=MPW, dt=geom.dt)
+    P = jnp.asarray(op.packed, jnp.float32)
+    xg = jnp.asarray(gather_slots(x, geom), jnp.float32)
+
+    wn, ws = _axis_hats_planes((P[:, 0], P[:, 1], P[:, 2]))
+    comps = _component_factors(wn, ws)
+    u = tuple(_gather_component(xg[:, c], *comps[c]) for c in range(3))
+    y = _rotate(u, (P[:, 3], P[:, 4], P[:, 5]), P[:, 6])
+    ref = np.asarray(jnp.stack(
+        [_deposit_component(y[c], *comps[c]) for c in range(3)], axis=1))
+
+    got = np.asarray(mass_apply_slots_pallas(xg, P, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5,
+                               atol=1e-6 * np.abs(ref).max())

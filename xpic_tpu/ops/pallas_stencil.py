@@ -138,12 +138,16 @@ def _cheb_kernel(rhs_ref, shift_ref, out_ref, *, geom: Geometry,
         return tuple(a * F[c] + beta * cc[c] for c in range(3))
 
     rhs = tuple(rhs_ref[c] for c in range(3))
-    x = tuple(jnp.zeros_like(rhs[c]) for c in range(3))
-    r = rhs
+    x0 = tuple(jnp.zeros_like(rhs[c]) for c in range(3))
     inv_theta = 1.0 / theta
-    d = tuple(rhs[c] * inv_theta for c in range(3))
-    rho = 1.0 / sigma1
-    for _ in range(degree):
+    d0 = tuple(rhs[c] * inv_theta for c in range(3))
+    rho0 = jnp.float32(1.0) / sigma1
+
+    # fori_loop (not Python unrolling): a 12x-unrolled chain of ~30 ops
+    # per iteration overflows Mosaic's recursive lowering and bloats
+    # compile time; the loop-carried form keeps the kernel graph flat.
+    def body(_, state):
+        x, r, d, rho = state
         x = tuple(x[c] + d[c] for c in range(3))
         Md = Mv(d)
         r = tuple(r[c] - Md[c] for c in range(3))
@@ -151,7 +155,10 @@ def _cheb_kernel(rhs_ref, shift_ref, out_ref, *, geom: Geometry,
         cd = rho_new * rho
         cr = 2.0 * rho_new / delta
         d = tuple(cd * d[c] + cr * r[c] for c in range(3))
-        rho = rho_new
+        return (x, r, d, rho_new)
+
+    x, _r, _d, _rho = jax.lax.fori_loop(
+        0, degree, body, (x0, rhs, d0, rho0))
     for c in range(3):
         out_ref[c] = x[c]
 
@@ -163,6 +170,13 @@ def cheb_matM_inv_pallas(rhs, shift, *, geom: Geometry, degree: int,
     """x ~ (matM + shift I)^{-1} rhs in ONE dispatch (see module doc).
 
     ``rhs`` is [3, nz, ny, nx] float32; ``shift`` a scalar (traced)."""
+    import sys
+
+    # The Mosaic lowering of the stencil recurrence recurses deeply in
+    # jax's nested-structure walkers; the default 1000-frame limit
+    # overflows on this toolchain even with the loop-carried form.
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
     nz, ny, nx = geom.nz, geom.ny, geom.nx
     NYX = ny * nx
     F = rhs.reshape(3, nz, NYX)

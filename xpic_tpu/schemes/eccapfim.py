@@ -33,6 +33,7 @@ atol=rtol=1e-7, maxit as configured (eccapfim/simulation.h:14-24).
 from __future__ import annotations
 
 import logging
+import os
 import time
 from functools import partial
 
@@ -54,9 +55,18 @@ from ..ops.implicit_esirkepov import (
 )
 from ..ops.stencil import curl_negative, curl_positive
 from ..solvers import anderson_solve
+from ..solvers.anderson import anderson_solve_device
 from .base import Simulation
 
 log = logging.getLogger("xpic")
+
+# Outer-solve pacing, resolved at import per the repo's jit-cache rule:
+#   device (default)  the whole Anderson loop is ONE lax.while_loop
+#                     dispatch; a single fused fetch per step brings
+#                     back stats + convergence history (VERDICT r4 #5).
+#   host              the round-3 host-paced loop (one ~10 ms dispatch
+#                     per outer iteration) — kept as the debug mode.
+_ANDERSON_MODE = os.environ.get("XPIC_ANDERSON", "device")
 
 ATOL = 1e-7
 RTOL = 1e-7
@@ -326,29 +336,57 @@ class EccapfimSimulation(Simulation):
             # (advisor r4 finding).
             atol = ATOL_F32 * _math.sqrt(self.E.size) / bound
             rtol = RTOL / bound
-        result = anderson_solve(
-            G, self.E, atol=atol, rtol=rtol, maxit=MAXIT, m=10,
-        )
-        J_last, pend, its, max_disp_d, nonconv_d = self._last_out
+        if _ANDERSON_MODE == "host":
+            result = anderson_solve(
+                G, self.E, atol=atol, rtol=rtol, maxit=MAXIT, m=10,
+            )
+            aux = self._last_out
+            conv_hist = result.history
+            res_x = result.x
+            res_it = int(result.iterations)
+            res_rnorm = float(result.residual_norm)
+            res_conv = bool(result.converged)
+        else:
+            res = anderson_solve_device(
+                lambda x: fused(x, sim.E, sim.B, states), self.E,
+                atol=atol, rtol=rtol, maxit=MAXIT, m=10,
+            )
+            aux = res.aux
+            res_x = res.x
+        J_last, pend, its, max_disp_d, nonconv_d = aux
         self._J_last = J_last
-        self.conv_history = result.history
-        self.phase_timings["calc_iteration"] = time.perf_counter() - t0
         # Flagged-error surfacing for the committed (last) particle sweep:
         # per-axis displacement must stay below one cell for the 4-segment
         # split to be exact, and every particle's CN Picard iteration must
         # have converged (the reference aborts on both,
-        # cell_traversal.cpp / crank_nicolson_push.cpp:69-70).
-        stats = np.asarray(jnp.concatenate([
-            jnp.stack([max_disp_d.astype(jnp.float64
-                                         if jax.config.jax_enable_x64
-                                         else jnp.float32),
-                       nonconv_d.astype(max_disp_d.dtype)]),
-            its.astype(max_disp_d.dtype),
-        ]))
+        # cell_traversal.cpp / crank_nicolson_push.cpp:69-70).  ONE fused
+        # fetch brings back every scalar the host needs — the CN stats,
+        # the solver state, and the convergence history.
+        ftype = (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        head = [max_disp_d.astype(ftype), nonconv_d.astype(ftype)]
+        if _ANDERSON_MODE != "host":
+            head += [res.iterations.astype(ftype),
+                     res.residual_norm.astype(ftype),
+                     res.converged.astype(ftype)]
+        parts = [jnp.stack(head), its.astype(ftype)]
+        if _ANDERSON_MODE != "host":
+            parts.append(res.history.astype(ftype))
+        stats = np.asarray(jnp.concatenate(parts))
         max_disp, nonconv = float(stats[0]), int(stats[1])
+        n_live = sum(1 for s in self.species if s.n > 0)
+        if _ANDERSON_MODE != "host":
+            res_it = int(stats[2])
+            res_rnorm = float(stats[3])
+            res_conv = bool(stats[4])
+            sp_its = stats[5:5 + n_live]
+            conv_hist = list(stats[5 + n_live:5 + n_live + res_it + 1])
+        else:
+            sp_its = stats[2:2 + n_live]
         for sp, it_count in zip(
-                (s for s in self.species if s.n > 0), stats[2:]):
+                (s for s in self.species if s.n > 0), sp_its):
             sp.cn_iterations = float(it_count)
+        self.conv_history = conv_hist
+        self.phase_timings["calc_iteration"] = time.perf_counter() - t0
         if max_disp >= 1.0:
             raise RuntimeError(
                 f"eccapfim: particle moved {max_disp:.2f} cells along one "
@@ -362,17 +400,17 @@ class EccapfimSimulation(Simulation):
                 f"{nonconv} particles (maxit={CN_MAXIT})"
             )
 
-        if not result.converged:
+        if not res_conv:
             raise RuntimeError(
                 f"eccapfim nonlinear solve did not converge: "
-                f"|F|={result.residual_norm:.3e} after {result.iterations} its"
+                f"|F|={res_rnorm:.3e} after {res_it} its"
             )
         log.info(
             "  Nonlinear solve converged in %d iterations, |F|=%.3e",
-            result.iterations, result.residual_norm,
+            res_it, res_rnorm,
         )
 
-        sol = result.x
+        sol = res_x
         # after_iteration (eccapfim/simulation.cpp:106-129)
         self.E = 2.0 * sol - self.E
         self.B = self.B - geom.dt * curl_positive(
