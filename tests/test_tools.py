@@ -172,11 +172,20 @@ def test_render_pipeline_smoke(tmp_path):
     doc, cfg = _run_small(tmp_path, extra_diags=[
         {"diagnostic": "DistributionMoment", "particles": "electrons",
          "moment": "density"},
+        {"diagnostic": "DistributionMoment", "particles": "electrons",
+         "moment": "current"},
+        {"diagnostic": "DistributionMoment", "particles": "electrons",
+         "moment": "momentum_flux_diag"},
+        {"diagnostic": "VelocityDistribution", "particles": "electrons",
+         "projection": "vx_vy",
+         "vmin": [-0.5, -0.5], "vmax": [0.5, 0.5], "dv": [0.05, 0.05]},
     ])
     run = RunInfo.load(os.path.join(cfg.out_dir, "config.json"))
     movies = render_all(run, workers=2)
 
-    assert set(movies) == {"fields", "info_electrons"}
+    assert set(movies) == {"fields", "info_electrons",
+                           "currents_electrons", "pressures_electrons",
+                           "distribution_electrons"}
     for name, path in movies.items():
         frames = sorted(os.listdir(
             os.path.join(cfg.out_dir, "processed", name)))
@@ -187,6 +196,8 @@ def test_render_pipeline_smoke(tmp_path):
             head = fh.read(12)
         assert head[:4] == b"RIFF" and head[8:12] == b"AVI " or \
             path.endswith(".mp4")
-    # temporal plots were produced alongside
+    # temporal plots + the conserved-props figure were produced alongside
     assert os.path.exists(os.path.join(cfg.out_dir, "processed",
                                        "energy_conservation.png"))
+    assert os.path.exists(os.path.join(cfg.out_dir, "processed",
+                                       "conserved_props.png"))

@@ -148,3 +148,49 @@ def make_movie(run: RunInfo, name: str, fps: int = 15) -> str | None:
         check=True, capture_output=True,
     )
     return out
+
+
+def plot_conserved_props(run: RunInfo, out_png: str | None = None) -> str:
+    """One stacked figure of the conserved properties — electric
+    energy, total-energy closure |d(W_E+W_B+K)|, and the charge
+    continuity norm — against time, the reference's
+    tools/plotting/plots/conserved_props.py view of a finished run."""
+    plt = _mpl()
+    fig, axes = plt.subplots(3, 1, figsize=(7, 10))
+
+    eh, er = read_temporal(
+        os.path.join(run.out_dir, "temporal", "energy.txt"))
+    t = er[:, 0] * run.dt
+    col = eh.index("dE") if "dE" in eh else 1
+    axes[0].plot(t, er[:, col], linewidth=2)
+    axes[0].set_title("Electric energy")
+    axes[0].set_ylabel(r"$W_E = \sum_g {\bf E}_g^2 / 2$")
+
+    ch, cr = read_temporal(
+        os.path.join(run.out_dir, "temporal", "energy_conservation.txt"))
+    axes[1].semilogy(cr[:, 0] * run.dt, np.abs(cr[:, -1]) + 1e-300,
+                     linewidth=2)
+    axes[1].axhline(1e-7, linestyle="--", color="black", linewidth=1)
+    axes[1].set_title("Energy conservation")
+    axes[1].set_ylabel(r"$|\Delta(W_E + W_B + K)|$")
+
+    try:
+        qh, qr = read_temporal(
+            os.path.join(run.out_dir, "temporal",
+                         "charge_conservation.txt"))
+        axes[2].semilogy(qr[:, 0] * run.dt, np.abs(qr[:, -1]) + 1e-300,
+                         linewidth=2)
+        axes[2].set_title("Charge conservation")
+        axes[2].set_ylabel(
+            r"$[\sum_g (\Delta\rho_g/\Delta t + {\rm div}\,{\bf J}_g)^2]^{1/2}$")
+    except FileNotFoundError:
+        axes[2].axis("off")
+    axes[2].set_xlabel(r"$\omega_{pe} t$")
+    fig.tight_layout()
+    if out_png is None:
+        os.makedirs(os.path.join(run.out_dir, "processed"), exist_ok=True)
+        out_png = os.path.join(run.out_dir, "processed",
+                               "conserved_props.png")
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return out_png

@@ -27,7 +27,7 @@ import sys
 from typing import Sequence
 
 from .data_format import RegionReader, RunInfo
-from .plots import Panel, plot_temporal, process_frames
+from .plots import Panel, plot_conserved_props, plot_temporal, process_frames
 
 
 def write_mjpeg_avi(frames: Sequence[str], out_path: str,
@@ -137,11 +137,67 @@ def assemble_movie(run: RunInfo, name: str, fps: int = 15) -> str:
                            fps)
 
 
+# dof per moment — mirrors diagnostics/distribution_moment.MOMENT_DOF
+# (kept literal here so the toolchain needs no jax import).
+_MOMENT_DOF = {
+    "density": 1,
+    "current": 3,
+    "momentum_flux": 6,
+    "momentum_flux_cyl": 6,
+    "momentum_flux_diag": 3,
+    "momentum_flux_diag_cyl": 3,
+}
+# Component labels per moment kind (reference panel titles,
+# tools/plotting/plots/{currents,pressures}.py).
+_FLUX_LABELS = {
+    "momentum_flux": ("\\Pi_{xx}", "\\Pi_{xy}", "\\Pi_{xz}",
+                      "\\Pi_{yy}", "\\Pi_{yz}", "\\Pi_{zz}"),
+    "momentum_flux_cyl": ("\\Pi_{rr}", "\\Pi_{r\\phi}", "\\Pi_{rz}",
+                          "\\Pi_{\\phi\\phi}", "\\Pi_{\\phi z}",
+                          "\\Pi_{zz}"),
+    "momentum_flux_diag": ("\\Pi_{xx}", "\\Pi_{yy}", "\\Pi_{zz}"),
+    "momentum_flux_diag_cyl": ("\\Pi_{rr}", "\\Pi_{\\phi\\phi}",
+                               "\\Pi_{zz}"),
+}
+
+
+def _moment_reader(run: RunInfo, diag: dict) -> RegionReader | None:
+    """Reader for one DistributionMoment series, with the grid shape
+    taken from the diagnostic's region when present (a region'd moment
+    writes region-sized binaries — advisor r4 finding)."""
+    species = diag["particles"]
+    moment = diag["moment"]
+    suffix = diag.get("region", {}).get("suffix", "")
+    path = os.path.join(run.out_dir, species, moment + suffix)
+    if not os.path.isdir(path):
+        return None
+    nx, ny, nz = run.nx, run.ny, run.nz
+    reg = diag.get("region", {})
+    if "size" in reg:
+        steps = (run.dx, run.dy, run.dz)
+        nx, ny, nz = (
+            int(float(str(v).split()[0]) // s) if isinstance(v, str)
+            else int(v // s)
+            for v, s in zip(reg["size"], steps)
+        )
+    dof = _MOMENT_DOF.get(moment, 1)
+    return RegionReader(path, (nx, ny, nz, dof), nt=run.nt)
+
+
 def discover_sets(run: RunInfo) -> dict[str, list[Panel]]:
-    """Plot sets from the run's own Diagnostics section: one "fields"
-    set per FieldView series and one per-species set per
-    DistributionMoment series (the reference's fields/currents/info_*
-    scripts, hand-listed there; derived from the config here)."""
+    """Plot sets from the run's own Diagnostics section (the reference
+    hand-lists these in tools/plotting/plots/*.py; here they are
+    derived from the saved config):
+
+    * ``fields``                 — E/B/J components (fields.py);
+    * ``currents_<species>``     — per-species current moment components
+                                   (currents.py);
+    * ``pressures_<species>``    — momentum-flux moment panels
+                                   (pressures.py);
+    * ``info_<species>``         — density and other scalar moments;
+    * ``distribution_<species>`` — f(v1, v2) velocity maps
+                                   (distribution.py).
+    """
     sets: dict[str, list[Panel]] = {}
     for diag in run.config.get("Diagnostics", ()):
         kind = diag.get("diagnostic")
@@ -160,13 +216,45 @@ def discover_sets(run: RunInfo) -> dict[str, list[Panel]]:
         elif kind == "DistributionMoment":
             species = diag["particles"]
             moment = diag["moment"]
-            path = os.path.join(run.out_dir, species, moment)
+            reader = _moment_reader(run, diag)
+            if reader is None:
+                continue
+            s = species[0]
+            if moment == "current":
+                panels = sets.setdefault(f"currents_{species}", [])
+                for c in range(3):
+                    panels.append(Panel(
+                        f"$J^{s}_{'xyz'[c]}$", reader, "Z", c,
+                        cylindrical=moment.endswith("cyl")))
+            elif moment in _FLUX_LABELS:
+                panels = sets.setdefault(f"pressures_{species}", [])
+                for c, lab in enumerate(_FLUX_LABELS[moment]):
+                    panels.append(Panel(f"${lab}^{s}$", reader, "Z", c))
+            else:
+                sets.setdefault(f"info_{species}", []).append(
+                    Panel(f"{species} {moment}", reader, "Z", 0))
+        elif kind == "VelocityDistribution":
+            species = diag["particles"]
+            projection = diag.get("projection", "vx_vy")
+            path = os.path.join(run.out_dir, species, projection)
             if not os.path.isdir(path):
                 continue
-            reader = RegionReader(
-                path, (run.nx, run.ny, run.nz, 1), nt=run.nt)
-            sets.setdefault(f"info_{species}", []).append(
-                Panel(f"{species} {moment}", reader, "Z", 0))
+            v1, v2 = projection.split("_", 1)
+            vmin = diag.get("vmin", (-1.0, -1.0))
+            vmax = diag.get("vmax", (+1.0, +1.0))
+            dv = diag.get("dv", (0.01, 0.01))
+
+            def _num(x):
+                return float(str(x).split()[0])
+
+            nv = tuple(
+                max(1, int(round((_num(vmax[i]) - _num(vmin[i]))
+                                 / _num(dv[i]))))
+                for i in range(2)
+            )
+            reader = RegionReader(path, (nv[0], nv[1], 1, 1), nt=run.nt)
+            sets.setdefault(f"distribution_{species}", []).append(
+                Panel(f"$f({v1}, {v2})$ {species}", reader, "Z", 0))
     return sets
 
 
@@ -187,6 +275,10 @@ def render_all(run: RunInfo, workers: int = 0, fps: int = 15,
             plot_temporal(run, table)
         except FileNotFoundError:
             pass
+    try:
+        plot_conserved_props(run)
+    except FileNotFoundError:
+        pass
     return movies
 
 

@@ -118,7 +118,11 @@ def mass_apply_slots_pallas(xg, packed, interpret: bool = False):
     operands [G, 8, K] (see module doc).  The caller wraps with
     ``gather_slots`` / ``deposit_slot_sums``."""
     G, _, K = packed.shape
-    bg = _pick_block(G, 512)
+    # Small blocks: the factored chain keeps ~dozens of [bg, K]
+    # temporaries live, and Mosaic stack-allocates them in VMEM —
+    # bg=512 measured 32 MB scoped (OOM at the 16 MB limit); 128 fits
+    # with headroom.
+    bg = _pick_block(G, 128)
     xspec = pl.BlockSpec((bg, 3, 12), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((bg, 8, K), lambda i: (i, 0, 0),
