@@ -139,3 +139,10 @@ def test_esirkepov_zero_for_static_particles():
     t0 = cell_t(GEOM, binned.r)
     J = esirkepov_current(t0, t0, binned.valid, 1.0, GEOM)
     np.testing.assert_allclose(np.asarray(J), 0.0, atol=1e-15)
+
+
+# Single-process CI smoke subset: fast units that must pass under
+# `pytest -n0 -m smoke` (no xdist worker containment).
+import pytest as _smoke_pytest
+
+pytestmark = _smoke_pytest.mark.smoke

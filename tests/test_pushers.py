@@ -234,3 +234,10 @@ def test_drift_kinetic_exb_drift():
     np.testing.assert_allclose(
         np.asarray(r)[0], [0.0, -0.05 * 100 * dt, 0.0], atol=1e-8
     )
+
+
+# Single-process CI smoke subset: fast units that must pass under
+# `pytest -n0 -m smoke` (no xdist worker containment).
+import pytest as _smoke_pytest
+
+pytestmark = _smoke_pytest.mark.smoke

@@ -106,3 +106,10 @@ def test_cheb_pallas_matches_xla(monkeypatch):
         )(rhs, jnp.float32(0.37)))
         np.testing.assert_allclose(got, ref,
                                    rtol=2e-6, atol=2e-6 * np.abs(ref).max())
+
+
+# Single-process CI smoke subset: fast units that must pass under
+# `pytest -n0 -m smoke` (no xdist worker containment).
+import pytest as _smoke_pytest
+
+pytestmark = _smoke_pytest.mark.smoke

@@ -50,3 +50,10 @@ def test_continuity(order):
     left = np.asarray(sf(jnp.asarray(breaks - 1e-9)))
     right = np.asarray(sf(jnp.asarray(breaks + 1e-9)))
     np.testing.assert_allclose(left, right, atol=1e-7)
+
+
+# Single-process CI smoke subset: fast units that must pass under
+# `pytest -n0 -m smoke` (no xdist worker containment).
+import pytest as _smoke_pytest
+
+pytestmark = _smoke_pytest.mark.smoke

@@ -71,3 +71,10 @@ def test_grad_div_adjointness():
     lhs = float(jnp.sum(gradient_positive(f, STEPS) * F))
     rhs = -float(jnp.sum(f * divergence_negative(F, STEPS)))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+# Single-process CI smoke subset: fast units that must pass under
+# `pytest -n0 -m smoke` (no xdist worker containment).
+import pytest as _smoke_pytest
+
+pytestmark = _smoke_pytest.mark.smoke

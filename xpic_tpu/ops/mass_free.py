@@ -149,14 +149,18 @@ def _rotate(u, b_planes, coef):
 
 
 def _mass_pallas_ok(dtype) -> bool:
-    """Route the apply through the fused Pallas kernel
-    (ops/pallas_mass) when exact to do so — mirrors the rebin gate:
-    f32, 32-bit trace mode, one visible device (pl.pallas_call has no
-    SPMD partitioning rule; mesh runs keep the XLA form, whose rolls
-    GSPMD turns into halo collectives)."""
+    """Opt-in routing of the apply through the fused Pallas kernel
+    (ops/pallas_mass).  MEASURED NEGATIVE at the bench shape (r5): the
+    per-cell-block work is tiny ([128, 80] blocks; ~110 short vector
+    ops each) and the 256-step grid serializes to ~15 ms/apply vs the
+    XLA chain's 1.36 ms — while larger blocks blow the 16 MB VMEM
+    scoped-stack limit (~125 live [bg, K] temporaries).  Kept for
+    shapes with much larger K and as the record of the experiment;
+    ``XPIC_MASS_PALLAS=1`` opts in (f32, 32-bit trace mode, one
+    visible device — pl.pallas_call has no SPMD partitioning rule)."""
     import os
 
-    if os.environ.get("XPIC_MASS_PALLAS", "1") == "0":
+    if os.environ.get("XPIC_MASS_PALLAS", "0") != "1":
         return False
     if dtype != jnp.float32 or jax.config.jax_enable_x64:
         return False
