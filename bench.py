@@ -298,7 +298,7 @@ def main() -> None:
 
     tol = 1e-5 if E1.dtype == jnp.float32 else 1e-7
     adv = jax.jit(lambda E, B, currI, L: advance_phase(
-        E1, B, B0, currI, L, geom, tol=tol, maxit=100))
+        E1, B, B0, currI, L, geom, tol=tol, maxit=100)[0])
     sol = adv(E1, B1, currI, L)
     iters = int(sol.iterations)
     _ = float(jnp.sum(sol.x))

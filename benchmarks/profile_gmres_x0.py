@@ -2,6 +2,8 @@
 (current) vs x0 = rhs/2 (first-order predictor: E - dt/2 J + dt/2
 curl(B-B0)) — iterations and wall time over a 20-step run."""
 import os, time, json
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("XPIC_X64", "0")
 import jax, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/xpic_jax_cache")

@@ -4,7 +4,9 @@ possibly achieve and which op class is slow."""
 import functools
 import json
 import os
+import sys
 import time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["XPIC_X64"] = "0"
 import jax

@@ -1,5 +1,7 @@
 """Chebyshev-degree sweep for the ECSIM advance solve, on chip."""
 import json, os, time
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["XPIC_X64"] = "0"
 import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/xpic_jax_cache")

@@ -3,7 +3,9 @@ Each isolated stage carries ~1.6 ms of dispatch (profile_roofcal.py);
 the full fused numbers at the end are the real ones."""
 import json
 import os
+import sys
 import time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["XPIC_X64"] = "0"
 import jax

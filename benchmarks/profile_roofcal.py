@@ -4,7 +4,9 @@ profilers use.  Separates "our kernels are inefficient" from "the
 backend costs X per dispatch / the roof is lower than the spec"."""
 import json
 import os
+import sys
 import time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["XPIC_X64"] = "0"
 import jax

@@ -38,7 +38,7 @@ def ph_fill(B, st, geom):
 
 @partial(jax.jit, static_argnames=("geom","maxit"))
 def ph_advance(E, B, B0, currI, L, geom, maxit=100):
-    return advance_phase(E, B, B0, currI, L, geom, tol=1e-5, maxit=maxit)
+    return advance_phase(E, B, B0, currI, L, geom, tol=1e-5, maxit=maxit)[0]
 
 @partial(jax.jit, static_argnames=("geom",))
 def ph_push(Ep, st, t, W, B_p, geom):

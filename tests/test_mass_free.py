@@ -133,8 +133,8 @@ def test_advance_phase_free_matches_blocks(state, monkeypatch):
             B, st32, t32, geom, q=Q, m=M, mpw=MPW)
         assert isinstance(mass, tuple) == (mode == "free")
         acc = step_mod.accumulate_mass(None, mass)
-        sol = step_mod.advance_phase(E, B, B0, currI, acc, geom,
-                                     tol=1e-7, maxit=200)
+        sol, _rhs = step_mod.advance_phase(E, B, B0, currI, acc, geom,
+                                           tol=1e-7, maxit=200)
         assert bool(sol.converged)
         outs[mode] = np.asarray(sol.x)
     np.testing.assert_allclose(outs["free"], outs["blocks"],

@@ -64,6 +64,7 @@ state, independent of the device mesh.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +95,15 @@ def _mover_cols(K: int) -> int:
     return 8
 
 
+# Buffer-width override (import-time resolved per the jit-cache rule).
+# Every stage of the exchange scales ~linearly in AT, and the default
+# ceil(K/3) is ~5x the Poisson tail of per-cell leavers at CFL-guarded
+# thermal motion — a pow2 override (e.g. 16 at K=80) trades capacity
+# for bandwidth, safely: the exact guard routes any step that would
+# overflow the smaller buffer to the global sort.
+_AT_OVERRIDE = int(os.environ.get("XPIC_REBIN_AT", "0"))
+
+
 def _buffer_cols(K: int) -> int:
     """Total mover-buffer columns AT: every leaver of a cell must fit
     (CFL-guarded runs move ~6% of a cell's occupancy per step; ceil(K/3)
@@ -102,6 +112,8 @@ def _buffer_cols(K: int) -> int:
     needs pow2 segments for its lane masks, and the extra columns only
     add capacity.  Capped at K so the static tail merge can always
     slice [K-AT:]."""
+    if _AT_OVERRIDE:
+        return min(K, _AT_OVERRIDE)
     at = min(K, max(16, (-(-K // 3) + 7) // 8 * 8))
     p2 = 1 << (at - 1).bit_length()
     if p2 <= K:

@@ -201,7 +201,7 @@ def empty_mass(geom: Geometry, dtype):
 
 
 def advance_phase(E, B, B0, currI, mass, geom: Geometry, *, tol, maxit,
-                  mesh=None):
+                  mesh=None, prev=None):
     """rhs = 2E - dt currI + dt curl-(B - B0); solve matA Ep = rhs
     (advance_fields, src/impls/ecsim/simulation.cpp:191-278).
 
@@ -250,9 +250,21 @@ def advance_phase(E, B, B0, currI, mass, geom: Geometry, *, tol, maxit,
     # first-order predictor of the half-step field (matA ~ 2I + O(dt^2)
     # + L).  Measured one full GMRES iteration cheaper per step than
     # x0=E at the bench shape (benchmarks/profile_gmres_x0.py: 4 vs 5
-    # iters over 20 steps).
-    return gmres(matA, rhs, x0=0.5 * rhs, rtol=tol, atol=tol, maxit=maxit,
-                 M_inv=M_inv)
+    # iters over 20 steps).  With ``prev = (Ep_prev, rhs_prev)`` from
+    # the previous step, the delta predictor
+    # x0 = Ep_prev + (rhs - rhs_prev)/2 warm-starts across steps:
+    # matA(Ep_prev) ~ rhs_prev and matA^{-1} ~ I/2, so only the
+    # step-to-step CHANGE of the system must be corrected — measured
+    # one further iteration cheaper at the bench shape.  Passing
+    # (0, 0) reproduces the cold predictor exactly.
+    if prev is None:
+        x0 = 0.5 * rhs
+    else:
+        Ep_p, rhs_p = prev
+        x0 = Ep_p + 0.5 * (rhs - rhs_p)
+    sol = gmres(matA, rhs, x0=x0, rtol=tol, atol=tol, maxit=maxit,
+                M_inv=M_inv)
+    return sol, rhs
 
 
 def push_phase(Ep, st: BinnedState, t, W, B_p, geom: Geometry, *, qm,
@@ -281,13 +293,16 @@ def push_phase(Ep, st: BinnedState, t, W, B_p, geom: Geometry, *, qm,
 
 
 @partial(jax.jit, static_argnames=("geom", "q", "m", "mpw", "maxit",
-                                   "mesh"))
+                                   "mesh", "return_adv"))
 def ecsim_step_binned(E, B, B0, st: BinnedState, geom: Geometry,
                       q: float, m: float, mpw: float, maxit: int = 100,
-                      mesh=None):
+                      mesh=None, prev=None, return_adv: bool = False):
     """One full ECSIM timestep for a single species, fully fused, over
     the persistent binned layout.  ``mesh`` (static) routes the Pallas
-    kernels through shard_map when the state is mesh-sharded."""
+    kernels through shard_map when the state is mesh-sharded.
+    ``prev = (Ep_prev, rhs_prev)`` warm-starts the field solve (see
+    ``advance_phase``); with ``return_adv`` the step also returns the
+    ``(Ep, rhs)`` pair to feed the next step."""
     # f32 cannot reach the f64 parity tolerance of 1e-7 relative
     # (the reference's KSP budget, ecsim/simulation.h:15-18); the speed
     # path solves to the dtype's achievable floor instead.
@@ -297,13 +312,16 @@ def ecsim_step_binned(E, B, B0, st: BinnedState, geom: Geometry,
     t = cell_t(geom, st.r)
     currI, mass, W, B_p = fill_phase(B, st, t, geom, q=q, m=m, mpw=mpw,
                                      mesh=mesh)
-    sol = advance_phase(E, B, B0, currI, accumulate_mass(None, mass),
-                        geom, tol=tol, maxit=maxit, mesh=mesh)
+    sol, rhs = advance_phase(E, B, B0, currI, accumulate_mass(None, mass),
+                             geom, tol=tol, maxit=maxit, mesh=mesh,
+                             prev=prev)
     Ep = sol.x
     st = push_phase(Ep, st, t, W, B_p, geom, qm=q / m, mesh=mesh)
 
     E_new = 2.0 * Ep - E
     B_new = B - geom.dt * curl_positive(Ep, geom.cell_steps, geom.bounds)
+    if return_adv:
+        return E_new, B_new, st, currI, sol.iterations, (Ep, rhs)
     return E_new, B_new, st, currI, sol.iterations
 
 
@@ -340,6 +358,13 @@ def ecsim_multi_step(E, B, B0, sp: ParticleArrays, geom: Geometry,
     """
     st0 = bin_state(sp, geom, slots)
 
+    # NOTE: a cross-step warm-start carry (prev=(Ep, rhs) threaded
+    # through the scan) was measured NEUTRAL-to-negative here (r5:
+    # 76.8M vs 78.8M, still 4 iterations): at the bench regime
+    # w_pe dt = 1.5 the field rotates ~86 degrees per step, so the
+    # previous solution predicts no better than the explicit 0.5*rhs.
+    # The delta predictor stays available via ecsim_step_binned(prev=)
+    # for small-dt regimes.
     def body(carry, _):
         E, B, st = carry
         E2, B2, st2, _, iters = ecsim_step_binned(
@@ -347,5 +372,6 @@ def ecsim_multi_step(E, B, B0, sp: ParticleArrays, geom: Geometry,
         )
         return (E2, B2, st2), iters
 
-    (E, B, st), iters = jax.lax.scan(body, (E, B, st0), None, length=n_steps)
+    (E, B, st), iters = jax.lax.scan(body, (E, B, st0), None,
+                                     length=n_steps)
     return E, B, unbin_state(st, geom), iters

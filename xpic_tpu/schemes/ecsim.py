@@ -84,7 +84,7 @@ def _fill_binned(B, st: BinnedState, geom: Geometry, q: float, m: float,
 
 @partial(jax.jit, static_argnames=("geom", "maxit", "mesh"))
 def _advance_fields(E, B, B0, currI, L, geom: Geometry, maxit: int = MAXIT,
-                    mesh=None):
+                    mesh=None, prev=None):
     """rhs = 2 E - dt currI + dt curl-(B - B0); solve matA Ep = rhs
     (ecsim/simulation.cpp:191-278).
 
@@ -97,9 +97,15 @@ def _advance_fields(E, B, B0, currI, L, geom: Geometry, maxit: int = MAXIT,
     tol = 1e-5 if E.dtype == jnp.float32 else ATOL
     if _TOL_OVERRIDE is not None and E.dtype != jnp.float32:
         tol = _TOL_OVERRIDE
-    sol = advance_phase(E, B, B0, currI, L, geom, tol=tol, maxit=maxit,
-                        mesh=mesh)
-    return sol.x, sol.iterations, sol.residual_norm, sol.converged
+    # Cross-step warm start (advance_phase's delta predictor) on the
+    # f32 speed path only: the f64 parity path keeps the cold
+    # predictor so the golden tables and their KSP histories stay
+    # byte-stable.
+    if E.dtype != jnp.float32:
+        prev = None
+    sol, rhs = advance_phase(E, B, B0, currI, L, geom, tol=tol,
+                             maxit=maxit, mesh=mesh, prev=prev)
+    return sol.x, sol.iterations, sol.residual_norm, sol.converged, rhs
 
 
 @partial(jax.jit, static_argnames=("geom", "qm", "mesh"))
@@ -158,10 +164,18 @@ class EcsimSimulation(Simulation):
             self._L = empty_mass(self.geom, self.E.dtype)
 
     def advance_fields(self) -> None:
-        self.Ep, its, rnorm, ok = _advance_fields(
+        # Cross-step warm start is opt-in (XPIC_WARM_START=1): at
+        # w_pe dt ~ 1 the fields rotate too fast per step for the
+        # previous solution to predict (measured r5, see
+        # parallel/step.ecsim_multi_step); it pays off in small-dt
+        # regimes.
+        prev = (getattr(self, "_adv_prev", None)
+                if _os.environ.get("XPIC_WARM_START") == "1" else None)
+        self.Ep, its, rnorm, ok, rhs = _advance_fields(
             self.E, self.B, self.B0, self.currI, self._L, self.geom,
-            mesh=self.mesh,
+            mesh=self.mesh, prev=prev,
         )
+        self._adv_prev = (self.Ep, rhs)
         self._ksp_iters = int(its)
         self.ksp_history.append(self._ksp_iters)
         if not bool(ok):

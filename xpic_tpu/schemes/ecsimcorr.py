@@ -209,10 +209,15 @@ class EcsimcorrSimulation(EcsimSimulation):
     def advance_fields(self) -> None:
         # Defer the convergence fetch: the step's ONE host sync happens
         # at the end of timestep_implementation (VERDICT r4 #5).
-        self.Ep, its, rnorm, ok = _advance_fields(
+        import os as _os
+
+        prev = (getattr(self, "_adv_prev", None)
+                if _os.environ.get("XPIC_WARM_START") == "1" else None)
+        self.Ep, its, rnorm, ok, rhs = _advance_fields(
             self.E, self.B, self.B0, self.currI, self._L, self.geom,
-            mesh=self.mesh,
+            mesh=self.mesh, prev=prev,
         )
+        self._adv_prev = (self.Ep, rhs)
         self._adv_solve = (its, rnorm, ok)
 
     def correct_fields(self) -> None:
