@@ -123,3 +123,35 @@ def test_split_segments_structure():
     assert taus[0] == 0.0 and taus[-1] == 1.0
     np.testing.assert_allclose(taus[1], 0.5, atol=1e-12)
     assert np.all(np.diff(taus) >= -1e-15)
+
+
+def test_segment_fields_pallas_matches_xla():
+    """The fused Pallas segment-field gather (ops/pallas_implicit,
+    interpret mode off-TPU) must match the einsum path — compared in
+    f64 where the einsum is exact (on TPU the f32 einsum itself drops
+    to bf16 multiplies, which is one reason the kernel exists)."""
+    import jax.numpy as jnp
+
+    from xpic_tpu.ops.pallas_implicit import segment_fields_pallas
+    from xpic_tpu.schemes.eccapfim import _segment_fields
+
+    geom = Geometry(dx=0.5, dy=0.4, dz=0.6, dt=1.5, nx=8, ny=6, nz=4,
+                    nt=1)
+    G, K = geom.n_cells, 16
+    rng = np.random.default_rng(3)
+    E = jnp.asarray(rng.standard_normal((3,) + geom.shape), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((3,) + geom.shape), jnp.float32)
+    Eblk = gather_window_blocks(E, geom)
+    Bblk = gather_window_blocks(B, geom)
+    t0 = jnp.asarray(rng.random((G, K, 3)), jnp.float32)
+    tn = jnp.asarray(t0 + (rng.random((G, K, 3)) - 0.5) * 1.6,
+                     jnp.float32)
+
+    E64, B64 = _segment_fields(
+        jnp.asarray(Eblk, jnp.float64), jnp.asarray(Bblk, jnp.float64),
+        jnp.asarray(t0, jnp.float64), jnp.asarray(tn, jnp.float64))
+    E_p, B_p = segment_fields_pallas(Eblk, Bblk, t0, tn, interpret=True)
+    np.testing.assert_allclose(np.asarray(E_p), np.asarray(E64),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(B_p), np.asarray(B64),
+                               rtol=2e-5, atol=2e-5)

@@ -111,6 +111,7 @@ def assemble_blocks(W, M):
         T = (M[:, :, c, :, None] * W).reshape(G, K, 36)  # [G,K,(d,j)]
         outs.append(
             jnp.einsum("gki,gkm->gim", W[:, :, c], T,
+                       precision="highest",
                        preferred_element_type=W.dtype).reshape(G, 12, 3, 12)
         )
     return jnp.stack(outs, axis=1)
@@ -168,7 +169,8 @@ def gather_slots(F, geom: Geometry):
 def apply_blocks(L, x, geom: Geometry):
     """y = matL @ x as gather -> batched block matmul -> scatter."""
     xg = gather_slots(x, geom)  # [G, 3, 12]
-    yg = jnp.einsum("gcidj,gdj->gci", L, xg, preferred_element_type=x.dtype)
+    yg = jnp.einsum("gcidj,gdj->gci", L, xg, precision="highest",
+                    preferred_element_type=x.dtype)
     comps = []
     for c in range(3):
         acc = None
@@ -190,4 +192,5 @@ def gather_slot_fields(F, W, geom: Geometry):
     ``gather_vector(..., order=1, width=3, anchor=-1, stagger=B_STAGGER)``.
     """
     Fg = gather_slots(F, geom)  # [G, 3, 12]
-    return jnp.einsum("gkcs,gcs->gkc", W, Fg, preferred_element_type=W.dtype)
+    return jnp.einsum("gkcs,gcs->gkc", W, Fg, precision="highest",
+                      preferred_element_type=W.dtype)

@@ -61,12 +61,19 @@ from .base import Simulation
 log = logging.getLogger("xpic")
 
 # Outer-solve pacing, resolved at import per the repo's jit-cache rule:
-#   device (default)  the whole Anderson loop is ONE lax.while_loop
-#                     dispatch; a single fused fetch per step brings
-#                     back stats + convergence history (VERDICT r4 #5).
-#   host              the round-3 host-paced loop (one ~10 ms dispatch
-#                     per outer iteration) — kept as the debug mode.
-_ANDERSON_MODE = os.environ.get("XPIC_ANDERSON", "device")
+#   host (default)    host-paced outer loop: one fused-residual
+#                     dispatch per iteration, one 3-scalar fetch.
+#   device            the whole Anderson loop as ONE lax.while_loop
+#                     dispatch with a single fused fetch per step.
+#                     MEASURED NEGATIVE on the v5e/axon backend (r5):
+#                     1.93 s/step host vs 11.7 s/step device at
+#                     identical iteration counts — wrapping the large
+#                     fused residual in an outer while_loop defeats
+#                     XLA:TPU's scheduling of the body (same programs,
+#                     6x the runtime).  The host loop's round-trips
+#                     cost ~2.5% of the step, so the device form only
+#                     matters for much cheaper residuals; kept opt-in.
+_ANDERSON_MODE = os.environ.get("XPIC_ANDERSON", "host")
 
 ATOL = 1e-7
 RTOL = 1e-7
@@ -86,10 +93,34 @@ ATOL_F32 = 1e-5  # per sqrt(dof)
 CN_TOL_F32 = 2e-5
 
 
+def _pallas_fields_ok(dtype) -> bool:
+    """Route the segment-field gather through the fused Pallas kernel
+    (ops/pallas_implicit) on the f32 single-device path: one VMEM
+    dispatch instead of per-pair einsums that (a) materialize
+    [G, K, 36] intermediates to HBM and (b) run their f32 contractions
+    at bf16 multiply precision on TPU (default matmul precision —
+    measured 3e-3 relative gather error at the bench shape; the kernel
+    is exact f32 FMA).  Mesh/x64/multi-device keep the XLA form."""
+    if os.environ.get("XPIC_FIM_PALLAS", "1") == "0":
+        return False
+    if dtype != jnp.float32 or jax.config.jax_enable_x64:
+        return False
+    try:
+        return len(jax.devices()) == 1
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _segment_fields(Eblk, Bblk, t0, tn):
     """Path-averaged (E, B) over the cell-crossing segments
     (eccapfim/particles.cpp:104-124): sum over segments of
     length-fraction-weighted implicit-Esirkepov gathers."""
+    if _pallas_fields_ok(t0.dtype):
+        from ..ops.binning import _pallas_interpret
+        from ..ops.pallas_implicit import segment_fields_pallas
+
+        return segment_fields_pallas(Eblk, Bblk, t0, tn,
+                                     interpret=_pallas_interpret())
     taus = split_segments(t0, tn)  # [G, K, MAXSEG+1]
     d = tn - t0
     E_p = 0.0

@@ -59,15 +59,18 @@ def _mix(Xs, Fs, mask, damping):
     hmask = mask[:-1]
     dF = (Fs[:-1] - Fk) * hmask[:, None]  # [m, n]
     dX = (Xs[:-1] - xk) * hmask[:, None]
-    G = dF @ dF.T
+    # precision="highest": f32 matmuls drop to bf16 multiplies on TPU
+    # by default — the normal-equation Gram matrix needs the full f32.
+    mm = partial(jnp.matmul, precision="highest")
+    G = mm(dF, dF.T)
     scale = jnp.maximum(jnp.trace(G), 1e-300)
     G = (
         G
         + (1e-12 * scale) * jnp.eye(G.shape[0], dtype=G.dtype)
         + jnp.diag(1.0 - hmask)
     )
-    gamma = jnp.linalg.solve(G, -(dF @ Fk))
-    x_new = xk + gamma @ dX - damping * (Fk + gamma @ dF)
+    gamma = jnp.linalg.solve(G, -mm(dF, Fk))
+    x_new = xk + mm(gamma, dX) - damping * (Fk + mm(gamma, dF))
     return (
         x_new,
         rnorm,

@@ -111,10 +111,11 @@ def _gmres_cycle(matvec, b, x0, m, target):
         Vf = V.reshape(m + 1, -1)
         wf = w.reshape(-1)
         active = (jnp.arange(m + 1) <= j).astype(dtype)
-        h1 = (Vf @ wf) * active
-        wf = wf - Vf.T @ h1
-        h2 = (Vf @ wf) * active
-        wf = wf - Vf.T @ h2
+        mm = partial(jnp.matmul, precision="highest")
+        h1 = mm(Vf, wf) * active
+        wf = wf - mm(Vf.T, h1)
+        h2 = mm(Vf, wf) * active
+        wf = wf - mm(Vf.T, h2)
         h = jnp.zeros(m + 1, dtype) + h1 + h2
         w = wf.reshape(w.shape)
         hnorm = jnp.sqrt(_dot(w, w))
@@ -161,7 +162,7 @@ def _gmres_cycle(matvec, b, x0, m, target):
         return y.at[i].set(jnp.where(active, num / diag, 0.0))
 
     y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dtype))
-    x = x0 + jnp.tensordot(y, V[:m], axes=1)
+    x = x0 + jnp.tensordot(y, V[:m], axes=1, precision="highest")
     return x, rnorm, j
 
 
