@@ -73,11 +73,19 @@ def collective_bytes(hlo_text: str) -> dict:
     per_op: dict[str, int] = {}
     counts: dict[str, int] = {}
     for line in hlo_text.splitlines():
-        op = next((c for c in _COLLECTIVES
-                   if f" {c}(" in line or f" {c}-start(" in line), None)
-        if op is None:
+        sep = None
+        for c in _COLLECTIVES:
+            for form in (f" {c}(", f" {c}-start("):
+                if form in line:
+                    sep, op = form, c
+                    break
+            if sep:
+                break
+        if sep is None:
             continue
-        head = line.split(op)[0]
+        # split on the op *call* form — the op name also appears in the
+        # result variable (%collective-permute.12 = ...).
+        head = line.split(sep)[0]
         if "=" not in head:
             continue
         rhs = head.split("=", 1)[1]

@@ -111,7 +111,7 @@ def _contract(block_c, wmap):
     """einsum of per-axis [G,K,6] weights against [G,6,6,6] (z,y,x)."""
     wx, wy, wz = wmap
     return jnp.einsum("gkz,gky,gkx,gzyx->gk", wz, wy, wx, block_c,
-                      precision="highest")
+                      precision="high")
 
 
 def _axis_map(cx, cy, cz, w_cx, w_cy, w_cz):
@@ -150,7 +150,7 @@ def deposit_J_implicit(t0, tn, v, scale):
             wx, wy, wz = wmap
             blocks.append(
                 jnp.einsum("gk,gkz,gky,gkx->gzyx", val, wz, wy, wx,
-                           precision="highest")
+                           precision="high")
             )
         comps.append(blocks[0] + blocks[1])
     return jnp.stack(comps, axis=1)

@@ -122,12 +122,19 @@ def _fields_kernel(Eb_ref, Bb_ref, T0_ref, TN_ref, Eout_ref, Bout_ref):
     s1, s2, s3 = _sort3(*(_crossing_params(t0[a], tn[a]) for a in range(3)))
     zeros = jnp.zeros_like(s1)
     ones = jnp.ones_like(s1)
-    taus = (zeros, s1, s2, s3, ones)
 
-    Eacc = [None, None, None]
-    Bacc = [None, None, None]
-    for s in range(MAXSEG):
-        a, b = taus[s], taus[s + 1]
+    def tau(si):
+        """taus[si] for a traced si (select chain — keeps the segment
+        loop a lax.fori_loop, which bounds Mosaic's register liveness;
+        the fully unrolled 4-segment body spilled 417 MB of VMEM)."""
+        out = jnp.where(si >= 4, ones, zeros)
+        out = jnp.where(si == 1, s1, out)
+        out = jnp.where(si == 2, s2, out)
+        return jnp.where(si == 3, s3, out)
+
+    def seg_body(s, acc):
+        Eacc, Bacc = acc
+        a, b = tau(s), tau(s + 1)
         bs = b - a
         seg0 = tuple(t0[ax] + a * d[ax] for ax in range(3))
         seg1 = tuple(t0[ax] + b * d[ax] for ax in range(3))
@@ -141,6 +148,8 @@ def _fields_kernel(Eb_ref, Bb_ref, T0_ref, TN_ref, Eout_ref, Bout_ref):
         # E: per component cx with cyclic (cy, cz); weight on axis cx is
         # sh[cx] (shared by both terms -> inner loop), axis cy carries
         # sn/s0, axis cz the (2 sn + s0) / (2 s0 + sn) combinations.
+        Eacc = list(Eacc)
+        Bacc = list(Bacc)
         for cx in range(3):
             cy, cz = (cx + 1) % 3, (cx + 2) % 3
             A6 = tuple(2.0 * sn[cz][o] + s0[cz][o] for o in range(WIDTH))
@@ -159,8 +168,7 @@ def _fields_kernel(Eb_ref, Bb_ref, T0_ref, TN_ref, Eout_ref, Bout_ref):
 
             e = _contract_pair(cols, sh[cx], sn[cy], A6, s0[cy], Bc6,
                                perm)
-            contrib = bs6 * e
-            Eacc[cx] = contrib if Eacc[cx] is None else Eacc[cx] + contrib
+            Eacc[cx] = Eacc[cx] + bs6 * e
 
         # B: plain order-2 magnetic Yee products at the midpoint.
         wn = [_w6(spline_2, th[ax], 0.0) for ax in range(3)]
@@ -177,9 +185,12 @@ def _fields_kernel(Eb_ref, Bb_ref, T0_ref, TN_ref, Eout_ref, Bout_ref):
                 return Bb[:, _c, j:j + 1]
 
             e = _contract_one(bcols, wx6, wy6, wz6)
-            contrib = bs * e
-            Bacc[c] = contrib if Bacc[c] is None else Bacc[c] + contrib
+            Bacc[c] = Bacc[c] + bs * e
+        return (tuple(Eacc), tuple(Bacc))
 
+    acc0 = (tuple(jnp.zeros_like(t0[0]) for _ in range(3)),
+            tuple(jnp.zeros_like(t0[0]) for _ in range(3)))
+    Eacc, Bacc = jax.lax.fori_loop(0, MAXSEG, seg_body, acc0)
     for c in range(3):
         Eout_ref[:, c, :] = Eacc[c]
         Bout_ref[:, c, :] = Bacc[c]
@@ -212,7 +223,10 @@ def segment_fields_pallas(Eblk, Bblk, t0, tn, interpret: bool = False):
     Bb = Bblk.reshape(G, 3, WIDTH ** 3)
     T0 = jnp.swapaxes(t0, 1, 2)  # [G, 3, K]
     TN = jnp.swapaxes(tn, 1, 2)
-    bg = _pick_block(G, 64)
+    # Small blocks: Mosaic spills essentially every SSA value of the
+    # ~2.6K-op segment body to its VMEM stack (measured 120 MB scoped
+    # at bg=64 against the 16 MB limit); bg=8 bounds the stack.
+    bg = _pick_block(G, 8)
     bspec = pl.BlockSpec((bg, 3, WIDTH ** 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     tspec = pl.BlockSpec((bg, 3, K), lambda i: (i, 0, 0),

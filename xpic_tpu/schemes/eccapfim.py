@@ -94,14 +94,16 @@ CN_TOL_F32 = 2e-5
 
 
 def _pallas_fields_ok(dtype) -> bool:
-    """Route the segment-field gather through the fused Pallas kernel
-    (ops/pallas_implicit) on the f32 single-device path: one VMEM
-    dispatch instead of per-pair einsums that (a) materialize
-    [G, K, 36] intermediates to HBM and (b) run their f32 contractions
-    at bf16 multiply precision on TPU (default matmul precision —
-    measured 3e-3 relative gather error at the bench shape; the kernel
-    is exact f32 FMA).  Mesh/x64/multi-device keep the XLA form."""
-    if os.environ.get("XPIC_FIM_PALLAS", "1") == "0":
+    """Opt-in routing of the segment-field gather through the fused
+    Pallas kernel (ops/pallas_implicit).  MEASURED NEGATIVE on this
+    Mosaic toolchain (r5): the ~2.6K-op segment body spills essentially
+    every SSA value to the kernel's VMEM stack (120 MB scoped at
+    bg=64; the bg=8 variant that fits runs at 0.28M particle-steps/s
+    vs the einsum route's 0.85M).  The kernel remains the record of
+    the experiment and is exact f32 (the einsum route needs
+    precision="highest" to avoid TPU bf16 multiplies);
+    ``XPIC_FIM_PALLAS=1`` opts in."""
+    if os.environ.get("XPIC_FIM_PALLAS", "0") != "1":
         return False
     if dtype != jnp.float32 or jax.config.jax_enable_x64:
         return False

@@ -103,21 +103,27 @@ def _gmres_cycle(matvec, b, x0, m, target):
         w = matvec(V[j])
 
         # Re-orthogonalized classical Gram-Schmidt (CGS2) against basis
-        # vectors <= j: two rounds of (all dots as one matmul, one
+        # vectors <= j: two rounds of (all dots as one contraction, one
         # basis-weighted subtraction).  One MXU pass over the basis per
         # round instead of m+1 sequential loop trips — the TPU-friendly
         # replacement for per-vector MGS at equal (re-orthogonalized)
-        # stability.
-        Vf = V.reshape(m + 1, -1)
-        wf = w.reshape(-1)
+        # stability.  The dots contract the field axes IN SHAPE (no
+        # reshape to [m+1, n]): merging a GSPMD-sharded grid axis into
+        # a flat dim makes the partitioner all-gather the whole Krylov
+        # basis per iteration (measured 6 MB/iteration of O(volume)
+        # all-gathers on an 8-device mesh, benchmarks/profile_scaling);
+        # the in-shape contraction keeps the partial dots shard-local
+        # with one scalar all-reduce.  precision="highest": f32 dots
+        # drop to bf16 multiplies on TPU by default.
+        vdims = tuple(range(1, V.ndim))
+        wdims = tuple(range(w.ndim))
+        dot = partial(jnp.tensordot, precision="highest")
         active = (jnp.arange(m + 1) <= j).astype(dtype)
-        mm = partial(jnp.matmul, precision="highest")
-        h1 = mm(Vf, wf) * active
-        wf = wf - mm(Vf.T, h1)
-        h2 = mm(Vf, wf) * active
-        wf = wf - mm(Vf.T, h2)
+        h1 = dot(V, w, axes=(vdims, wdims)) * active
+        w = w - dot(h1, V, axes=1)
+        h2 = dot(V, w, axes=(vdims, wdims)) * active
+        w = w - dot(h2, V, axes=1)
         h = jnp.zeros(m + 1, dtype) + h1 + h2
-        w = wf.reshape(w.shape)
         hnorm = jnp.sqrt(_dot(w, w))
         V = V.at[j + 1].set(w / jnp.maximum(hnorm, tiny))
 
