@@ -69,9 +69,17 @@ _TY_RE = re.compile(r"([a-z]+\d*)\[([\d,]*)\]")
 
 def collective_bytes(hlo_text: str) -> dict:
     """Sum output bytes of every collective op in an optimized HLO
-    module (per-device: HLO shapes are shard-local post-SPMD)."""
+    module (per-device: HLO shapes are shard-local post-SPMD).
+
+    Collectives inside the guarded global-sort FALLBACK branch of the
+    migration (``branch_0_fun/sort`` — taken only when the exact guard
+    rejects the neighbor exchange) are bucketed separately: they are
+    O(volume) by design (lax.sort over a sharded axis all-gathers) but
+    execute on cold steps only; the steady-state budget is the
+    fast-path bucket."""
     per_op: dict[str, int] = {}
     counts: dict[str, int] = {}
+    fallback: dict[str, int] = {}
     for line in hlo_text.splitlines():
         sep = None
         for c in _COLLECTIVES:
@@ -98,10 +106,14 @@ def collective_bytes(hlo_text: str) -> dict:
                 if d:
                     size *= int(d)
             nbytes += size * _ITEM[ty]
+        if "branch_0_fun/sort" in line:
+            fallback[op] = fallback.get(op, 0) + nbytes
+            continue
         per_op[op] = per_op.get(op, 0) + nbytes
         counts[op] = counts.get(op, 0) + 1
     return {"bytes_per_op": per_op, "counts": counts,
-            "total_bytes": sum(per_op.values())}
+            "total_bytes": sum(per_op.values()),
+            "fallback_branch_bytes": sum(fallback.values())}
 
 
 def step_lowered(geom, st_shape_K, mesh, n_steps=1):

@@ -278,3 +278,33 @@ def test_pallas_fill_shardmap_matches_einsum():
                        B_p.astype(jnp.float32), st.valid)
     np.testing.assert_allclose(np.asarray(L_sm), np.asarray(L_ref),
                                atol=5e-6)
+
+
+def test_collective_volume_stays_o_halo():
+    """The fast path's per-step collective bytes must scale with the
+    cut surface, not the volume: doubling nz at a fixed 8-way z
+    sharding must not grow the non-fallback collective traffic (the
+    >=80% multi-host scaling contract, BASELINE.json; the reference's
+    halo exchange is O(surface) by construction via the PETSc DMDA,
+    src/utils/world.cpp:36-46).  The guarded global-sort FALLBACK
+    branch is O(volume) by design and excluded (it runs only when the
+    exact migration guard rejects the neighbor exchange)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks"))
+    from profile_scaling import collective_bytes, step_lowered
+
+    totals = {}
+    for label, nz in (("base", 16), ("double", 32)):
+        geom = Geometry(dx=0.5, dy=0.5, dz=0.5, dt=1.5,
+                        nx=8, ny=8, nz=nz, nt=1)
+        mesh = pm.make_mesh(8)
+        compiled, _ = step_lowered(geom, 8, mesh, n_steps=1)
+        totals[label] = collective_bytes(compiled.as_text())
+
+    assert totals["base"]["total_bytes"] > 0  # halos exist
+    growth = totals["double"]["total_bytes"] / totals["base"]["total_bytes"]
+    assert growth < 1.5, (growth, totals)
