@@ -168,7 +168,14 @@ def main():
     K = int(os.environ.get("SCALE_K", "16"))
     reps = int(os.environ.get("SCALE_REPS", "4"))
 
-    out = {"config": {"nz_block": nz_block, "ny": ny, "nx": nx, "K": K}}
+    out = {"config": {"nz_block": nz_block, "ny": ny, "nx": nx, "K": K,
+                      "host_cores": os.cpu_count()}}
+    if (os.cpu_count() or 0) < 8:
+        out["weak_scaling_caveat"] = (
+            f"host has {os.cpu_count()} cores for 8 virtual devices — "
+            "the timing rows measure core oversubscription, not the "
+            "algorithm; the hardware-independent observable is "
+            "collective_bytes")
 
     # -- 1. weak scaling: fixed per-device load --------------------------
     rows = []
