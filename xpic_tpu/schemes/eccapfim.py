@@ -138,6 +138,36 @@ def _segment_fields(Eblk, Bblk, t0, tn):
     return E_p, B_p
 
 
+def _rest_fields(Eblk, Bblk, t0):
+    """Zero-displacement specialization of :func:`_segment_fields`:
+    at tn == t0 there is exactly one segment and the two E terms of
+    the implicit-Esirkepov kernel coincide (sn == s0, so the
+    combination weights are both 3 S2), collapsing the gather to three
+    contractions — ~1/6 the cost of the general 4-segment path.
+    Exactly equal to ``_segment_fields(Eblk, Bblk, t0, t0)`` up to
+    float reassociation."""
+    from ..ops.implicit_esirkepov import (
+        _axis_map,
+        _component_weights,
+        _contract,
+        gather_B_implicit,
+    )
+    from ..ops.implicit_esirkepov import _axis_weights_E
+
+    sh, sn, _s0 = _axis_weights_E(t0, t0)
+    comps = []
+    for cx in range(3):
+        cy, cz, w_sh, (sny, A), _ = _component_weights(cx, sh, sn, sn)
+        # term1 == term2, A == 3 S2[cz]: E = 2 * contract(sh, sn, 3 sn)
+        comps.append(
+            2.0 * _contract(Eblk[:, cx],
+                            _axis_map(cx, cy, cz, w_sh, sny, A))
+        )
+    E_p = jnp.stack(comps, axis=-1)
+    B_p = gather_B_implicit(Bblk, t0)
+    return E_p, B_p
+
+
 def _cn_sweep(Eblk, Bblk, t0, p0, valid, dt, qm, d_steps):
     """Masked Crank-Nicolson Picard iteration for all particles at once
     (eccapfim/particles.cpp:126-156).  Positions are in grid units
@@ -148,7 +178,7 @@ def _cn_sweep(Eblk, Bblk, t0, p0, valid, dt, qm, d_steps):
         return _segment_fields(Eblk, Bblk, t0, tn)
 
     tn0 = t0
-    E_p, B_p = fields(tn0)
+    E_p, B_p = _rest_fields(Eblk, Bblk, t0)
 
     def residue(pn, vh, E_p, B_p):
         return jnp.linalg.norm(
