@@ -193,7 +193,12 @@ def _run_sub_benches() -> dict:
     import subprocess
 
     modes = {
-        "ecsim_f64": {"BENCH_X64": "1", "BENCH_REPS": "5"},
+        # The f64 parity path always assembles matL (L blocks + the
+        # explicit W weights, ~2.8 GB at 32^3 x 50ppc) and exceeds the
+        # 16 GB HBM at the f32 bench shape — measured 20.8 GB compile-
+        # time OOM (r5).  24^3 is the largest cube that fits.
+        "ecsim_f64": {"BENCH_X64": "1", "BENCH_REPS": "5",
+                      "BENCH_GRID": "24"},
         "ecsimcorr": {"BENCH_SCHEME": "ecsimcorr"},
         "eccapfim": {"BENCH_SCHEME": "eccapfim", "BENCH_REPS": "3"},
     }
@@ -352,6 +357,7 @@ def main() -> None:
         "vs_baseline": throughput / BASELINE_PARTICLES_PER_S,
         "extras": {
             "dtype": str(E1.dtype),
+            "grid": n_side,
             "step_ms": elapsed * 1e3,
             **({"schemes": scheme_extras} if scheme_extras else {}),
             "ksp_iters_per_step": iters,
