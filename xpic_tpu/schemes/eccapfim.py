@@ -148,11 +148,11 @@ def _rest_fields(Eblk, Bblk, t0):
     float reassociation."""
     from ..ops.implicit_esirkepov import (
         _axis_map,
+        _axis_weights_E,
         _component_weights,
         _contract,
         gather_B_implicit,
     )
-    from ..ops.implicit_esirkepov import _axis_weights_E
 
     sh, sn, _s0 = _axis_weights_E(t0, t0)
     comps = []
