@@ -111,7 +111,7 @@ def assemble_blocks(W, M):
         T = (M[:, :, c, :, None] * W).reshape(G, K, 36)  # [G,K,(d,j)]
         outs.append(
             jnp.einsum("gki,gkm->gim", W[:, :, c], T,
-                       precision="highest",
+                       precision="high",
                        preferred_element_type=W.dtype).reshape(G, 12, 3, 12)
         )
     return jnp.stack(outs, axis=1)
@@ -169,7 +169,7 @@ def gather_slots(F, geom: Geometry):
 def apply_blocks(L, x, geom: Geometry):
     """y = matL @ x as gather -> batched block matmul -> scatter."""
     xg = gather_slots(x, geom)  # [G, 3, 12]
-    yg = jnp.einsum("gcidj,gdj->gci", L, xg, precision="highest",
+    yg = jnp.einsum("gcidj,gdj->gci", L, xg, precision="high",
                     preferred_element_type=x.dtype)
     comps = []
     for c in range(3):
@@ -192,5 +192,10 @@ def gather_slot_fields(F, W, geom: Geometry):
     ``gather_vector(..., order=1, width=3, anchor=-1, stagger=B_STAGGER)``.
     """
     Fg = gather_slots(F, geom)  # [G, 3, 12]
-    return jnp.einsum("gkcs,gcs->gkc", W, Fg, precision="highest",
+    # precision="high" (bf16x3, ~1e-6 relative): the r5 "highest" pin
+    # on this [G, K, 3, 12] einsum repriced the whole ecsimcorr step
+    # 279 -> 415 ms; "high" recovers it to 331 ms while staying well
+    # under the f32 path's 1e-5 solve floor.  f64 parity is unaffected
+    # by the flag.
+    return jnp.einsum("gkcs,gcs->gkc", W, Fg, precision="high",
                       preferred_element_type=W.dtype)

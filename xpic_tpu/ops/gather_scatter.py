@@ -241,6 +241,27 @@ def deposit_scalar(values, t, valid, geom: Geometry, *, order: int, width: int,
     return acc
 
 
+def blocks_to_grid(blk, geom: Geometry, width: int, anchor: int):
+    """Scatter per-cell window blocks ``[G, 3, w, w, w]`` (axes z, y, x,
+    offsets anchor..anchor+w-1 from the cell) onto the grid:
+    [3, nz, ny, nx].  The adjoint of ``width**3`` :func:`rolled_flat`
+    reads; every summand is a whole-grid roll, no per-particle scatter."""
+    comps = []
+    for c in range(3):
+        acc = None
+        for oz in range(width):
+            for oy in range(width):
+                for ox in range(width):
+                    dense = blk[:, c, oz, oy, ox].reshape(geom.shape)
+                    contrib = _unroll_back(
+                        dense, (anchor + oz, anchor + oy, anchor + ox),
+                        geom.bounds,
+                    )
+                    acc = contrib if acc is None else acc + contrib
+        comps.append(acc)
+    return jnp.stack(comps)
+
+
 def esirkepov_current(t_old, t_new, valid, alpha, geom: Geometry,
                       dtype=None) -> jnp.ndarray:
     """Charge-conserving Esirkepov current deposit.
@@ -256,6 +277,14 @@ def esirkepov_current(t_old, t_new, valid, alpha, geom: Geometry,
     (i, j, k) is ``-alpha*dx * CS_x[i] * (Sn_y[j]*A_z[k] + So_y[j]*B_z[k])``
     where A = 2*Sn + So and B = 2*So + Sn, so each offset needs O(1)
     work per slot and the whole deposit stays scatter-free.
+
+    MEASURED NEGATIVE (r5): rewriting the three components as six
+    ``einsum("gk,gkz,gky,gkx->gzyx")`` block contractions (the
+    deposit_J_implicit form) + blocks_to_grid ran the ecsimcorr bench
+    at 549 ms/step vs 415 for this per-offset form — XLA fuses each
+    offset term into one multiply-reduce kLoop with no materialized
+    intermediate, while the einsum route writes+reads [G, K, 36]
+    per contraction.
     """
     order, width, anchor = 2, 6, -2
     dt_ = t_old.dtype if dtype is None else dtype

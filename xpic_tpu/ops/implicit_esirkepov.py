@@ -33,7 +33,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import Geometry
-from .gather_scatter import _unroll_back, rolled_flat
+from .gather_scatter import rolled_flat
 from .splines import spline_1, spline_2
 
 WIDTH = 6
@@ -158,20 +158,9 @@ def deposit_J_implicit(t0, tn, v, scale):
 
 def scatter_blocks(Jblk, geom: Geometry):
     """Scatter per-cell window blocks onto the grid: [3, nz, ny, nx]."""
-    comps = []
-    for c in range(3):
-        acc = None
-        for oz in range(WIDTH):
-            for oy in range(WIDTH):
-                for ox in range(WIDTH):
-                    dense = Jblk[:, c, oz, oy, ox].reshape(geom.shape)
-                    contrib = _unroll_back(
-                        dense, (ANCHOR + oz, ANCHOR + oy, ANCHOR + ox),
-                        geom.bounds,
-                    )
-                    acc = contrib if acc is None else acc + contrib
-        comps.append(acc)
-    return jnp.stack(comps)
+    from .gather_scatter import blocks_to_grid
+
+    return blocks_to_grid(Jblk, geom, WIDTH, ANCHOR)
 
 
 def gather_B_implicit(Bblk, th):
