@@ -110,6 +110,9 @@ def bench_eccapfim() -> None:
             "outer_iters_per_step": float(_np.mean(outer)),
             "warmup_outer_iters": outer0,
             "cn_iters_per_sweep": float(_np.mean(cn)),
+            # Crosser fast-path health: steps that tripped the exact
+            # guard and re-ran on the general 4-segment path.
+            "fast_path_fallback_steps": getattr(sim, "_fallback_steps", 0),
         },
     }))
 

@@ -157,3 +157,75 @@ def test_eccapfim_fast_particle_is_flagged(tmp_path):
 
     with pytest.raises(RuntimeError, match="cells along one axis|converge"):
         sim.timestep_implementation(1)
+
+
+def test_eccapfim_crosser_fast_path_matches_general(tmp_path):
+    """The crosser-compaction fast path (kc > 0) must reproduce the
+    general 4-segment evaluation exactly (up to float reassociation):
+    non-crossers' single-segment gather/deposit is the same kernel with
+    the three zero-length segments dropped, crossers run the identical
+    4-segment path, and the in-row partition is undone on output."""
+    import jax.numpy as jnp
+    import pytest
+
+    from xpic_tpu.schemes.eccapfim import _form_species
+
+    particles_load.seed(558)
+    cfg = make_config(tmp_path)
+    doc = dict(cfg.raw)
+    # Tame dt so only a few % of particles cross a face per step (the
+    # production regime the fast path targets).
+    doc["Geometry"] = dict(doc["Geometry"], dt=0.1, t=0.4)
+    cfg = Config.from_json(doc)
+    sim = build_simulation(cfg)
+    sim.initialize()
+    sp = sim.species[0]
+    st = sp.state
+    rng = np.random.default_rng(0)
+    E = jnp.asarray(rng.normal(0.0, 1e-3, sim.E.shape), sim.E.dtype)
+    B = jnp.asarray(rng.normal(0.0, 1e-3, sim.E.shape), sim.E.dtype)
+    qm, a0 = sp.params.qm, sp.params.q * sp.params.n_Np
+    K = st.p.shape[1]
+    kc = max(2, K // 2)
+
+    ref = _form_species(E, B, st, sim.geom, qm, a0, 0)
+    fast = _form_species(E, B, st, sim.geom, qm, a0, kc)
+    assert int(fast[6]) == 0, "conservative classifier overflowed/missed"
+    names = ("J", "r_new", "p_new", "iters", "nonconv", "max_disp")
+    for name, a, b in zip(names, ref, fast):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0.0, atol=1e-12,
+            err_msg=f"fast path diverged from general path in {name}",
+        )
+    # The run genuinely exercised the split: some (not all) rows hold a
+    # crosser at this dt.
+    steps = np.asarray(sim.geom.cell_steps)
+    tn = np.asarray(fast[1]) / steps
+    t0 = np.asarray(st.r) / steps
+    crossed = (
+        np.any(np.round(tn) != np.round(t0), axis=-1) & np.asarray(st.valid)
+    )
+    assert 0 < crossed.sum() < crossed.size
+
+
+def test_eccapfim_crosser_overflow_is_flagged(tmp_path):
+    """More classified crossers in one cell row than kc columns must
+    raise the fallback flag (never silently run crossers through the
+    single-segment kernel)."""
+    import jax.numpy as jnp
+
+    from xpic_tpu.schemes.eccapfim import _form_species
+
+    particles_load.seed(559)
+    cfg = make_config(tmp_path)
+    sim = build_simulation(cfg)
+    sim.initialize()
+    sp = sim.species[0]
+    st = sp.state
+    E = jnp.zeros(sim.E.shape, sim.E.dtype)
+    B = jnp.zeros(sim.E.shape, sim.E.dtype)
+    qm, a0 = sp.params.qm, sp.params.q * sp.params.n_Np
+    # dt=1.0, T=0.1 => ~0.6-cell moves: nearly every particle is a
+    # classified crosser, so kc=1 must overflow somewhere.
+    out = _form_species(E, B, st, sim.geom, qm, a0, 1)
+    assert int(out[6]) >= 1

@@ -75,6 +75,34 @@ log = logging.getLogger("xpic")
 #                     matters for much cheaper residuals; kept opt-in.
 _ANDERSON_MODE = os.environ.get("XPIC_ANDERSON", "host")
 
+# Crosser-compaction fast path (r5): at production dt only a few % of
+# particles cross a node-cell face during a step, yet the general path
+# pays the full 4-segment gather/deposit for every particle.  The fast
+# path classifies probable crossers with a conservative displacement
+# bound, partitions each cell row so they occupy the first ``kc`` slot
+# columns (a stable in-row argsort — no cross-cell data movement, no
+# scatter), runs the exact 4-segment path on the [G, kc] slice only,
+# and the collapsed single-segment kernel on the [G, K-kc] rest.  An
+# exact per-iteration post-check counts any misclassified particle
+# (a "non-crosser" whose Picard iterate crossed a face) and the per-row
+# crosser-count overflow; either flags the step and the host re-runs
+# the solve on the general path, so the result is never approximate
+# (same contract as the rebin guard, ops/neighbor_rebin.py).
+#   XPIC_FIM_FAST=0 disables; XPIC_FIM_KC overrides the crosser width.
+_FIM_FAST = os.environ.get("XPIC_FIM_FAST", "1") != "0"
+_FIM_KC = int(os.environ.get("XPIC_FIM_KC", "0"))
+
+
+def _pick_kc(K: int) -> int:
+    """Crosser-slot width: ~K/3 bounds the per-cell crosser count with
+    a Poisson-tail margin at the measured few-% crossing rate; rows
+    narrower than 12 slots gain nothing over the general path."""
+    if _FIM_KC:
+        return min(K, _FIM_KC)
+    if K < 12:
+        return 0
+    return max(8, K // 3)
+
 ATOL = 1e-7
 RTOL = 1e-7
 MAXIT = 1000
@@ -168,17 +196,47 @@ def _rest_fields(Eblk, Bblk, t0):
     return E_p, B_p
 
 
-def _cn_sweep(Eblk, Bblk, t0, p0, valid, dt, qm, d_steps):
+def _one_segment_fields(Eblk, Bblk, t0, tn):
+    """Collapsed :func:`_segment_fields` for moves that cross no
+    node-cell face: one full-length segment, so the path average is a
+    single implicit-Esirkepov gather (the other three segments of the
+    general path are zero-length and contribute exactly zero)."""
+    E_p = gather_E_implicit(Eblk, t0, tn)
+    B_p = gather_B_implicit(Bblk, 0.5 * (t0 + tn))
+    return E_p, B_p
+
+
+def _cn_sweep(Eblk, Bblk, t0, p0, valid, dt, qm, d_steps, kc=0, rest=None):
     """Masked Crank-Nicolson Picard iteration for all particles at once
     (eccapfim/particles.cpp:126-156).  Positions are in grid units
-    (t* = r/d, cell-relative handled upstream); velocities physical."""
+    (t* = r/d, cell-relative handled upstream); velocities physical.
+
+    With ``kc > 0`` the rows are pre-partitioned (crossers in the first
+    ``kc`` columns); returns a misclassification count alongside.
+    ``rest`` optionally passes the precomputed zero-displacement
+    (E, B) gather (the classifier already needed it)."""
     v_over_d = p0 / d_steps
+    fast = 0 < kc < t0.shape[1]
 
     def fields(tn):
-        return _segment_fields(Eblk, Bblk, t0, tn)
+        if not fast:
+            E_p, B_p = _segment_fields(Eblk, Bblk, t0, tn)
+            return E_p, B_p, jnp.zeros((), jnp.int32)
+        E_c, B_c = _segment_fields(Eblk, Bblk, t0[:, :kc], tn[:, :kc])
+        t0n, tnn = t0[:, kc:], tn[:, kc:]
+        E_1, B_1 = _one_segment_fields(Eblk, Bblk, t0n, tnn)
+        # Exact guard: a classified non-crosser whose iterate crossed a
+        # face got the (invalid-across-breakpoints) single-segment
+        # gather — count it so the host can redo the step exactly.
+        viol = jnp.sum(
+            jnp.any(jnp.round(tnn) != jnp.round(t0n), axis=-1)
+            & valid[:, kc:], dtype=jnp.int32,
+        )
+        return (jnp.concatenate([E_c, E_1], axis=1),
+                jnp.concatenate([B_c, B_1], axis=1), viol)
 
     tn0 = t0
-    E_p, B_p = _rest_fields(Eblk, Bblk, t0)
+    E_p, B_p = rest if rest is not None else _rest_fields(Eblk, Bblk, t0)
 
     def residue(pn, vh, E_p, B_p):
         return jnp.linalg.norm(
@@ -191,7 +249,7 @@ def _cn_sweep(Eblk, Bblk, t0, p0, valid, dt, qm, d_steps):
     alpha = 0.5 * dt * qm
 
     def body(state):
-        it, tn, pn, E_p, B_p, res, active = state
+        it, tn, pn, E_p, B_p, res, active, nviol = state
         a = alpha * E_p
         b = alpha * B_p
         w = p0 + a
@@ -202,65 +260,137 @@ def _cn_sweep(Eblk, Bblk, t0, p0, valid, dt, qm, d_steps):
         m = active[..., None]
         tn = jnp.where(m, t0 + (vh / d_steps) * dt, tn)
         pn = jnp.where(m, 2.0 * vh - p0, pn)
-        E_n, B_n = fields(tn)
+        E_n, B_n, viol = fields(tn)
         E_p = jnp.where(m, E_n, E_p)
         B_p = jnp.where(m, B_n, B_p)
         res_new = residue(pn, vh, E_p, B_p)
         res = jnp.where(active, res_new, res)
         done = res < target
-        return (it + 1, tn, pn, E_p, B_p, res, active & ~done)
+        return (it + 1, tn, pn, E_p, B_p, res, active & ~done,
+                jnp.maximum(nviol, viol))
 
     def cond(state):
-        it, *_, active = state
+        it, _tn, _pn, _E, _B, _res, active, _nv = state
         return jnp.logical_and(jnp.any(active & valid), it < CN_MAXIT)
 
     state = (
         jnp.asarray(0, jnp.int32), tn0, p0, E_p, B_p, res0,
-        (res0 >= target) & valid,
+        (res0 >= target) & valid, jnp.zeros((), jnp.int32),
     )
-    it, tn, pn, E_p, B_p, res, active = jax.lax.while_loop(cond, body, state)
+    (it, tn, pn, E_p, B_p, res, active,
+     nviol) = jax.lax.while_loop(cond, body, state)
     vh = 0.5 * (pn + p0)
-    return tn, pn, vh, it, active
+    return tn, pn, vh, it, active, nviol
 
 
-@partial(jax.jit, static_argnames=("geom", "qm", "a0"))
-def _form_species(E_hk, B, st: BinnedState, geom: Geometry,
-                  qm: float, a0: float):
-    """One species' contribution to J(E_hk) plus its updated state.
-
-    ``st`` is the start-of-step binned state (the ``previous_storage``
-    analog, eccapfim/particles.h:28-30) — it stays fixed across residual
-    evaluations; only the returned candidate state moves.
-    """
-    t0 = cell_t(geom, st.r)
-
-    Eblk = gather_window_blocks(E_hk, geom)
-    Bblk = gather_window_blocks(B, geom)
-
-    tn, pn, vh, iters, nonconv = _cn_sweep(
-        Eblk, Bblk, t0, st.p, st.valid, geom.dt, qm,
-        jnp.asarray(geom.cell_steps, dtype=E_hk.dtype),
-    )
-
-    # Deposit the path-averaged current of the *converged* move
-    # (eccapfim/particles.cpp:158-170): per segment, scale a0 * bs
-    # (dtau == dt, so dtau/dt == 1).
+def _segment_deposit(t0, tn, vh, scale):
+    """4-segment path-averaged current deposit blocks
+    (eccapfim/particles.cpp:158-170): per segment, scale * bs
+    (dtau == dt, so dtau/dt == 1)."""
     taus = split_segments(t0, tn)
     dseg = tn - t0
     Jblk = 0.0
-    valid_f = st.valid.astype(E_hk.dtype)
     for s in range(MAXSEG):
         a = taus[..., s][..., None]
         b = taus[..., s + 1][..., None]
         seg0 = t0 + a * dseg
         seg1 = t0 + b * dseg
-        bs = (b - a)[..., 0] * valid_f  # [G, K]
-        Jblk = Jblk + deposit_J_implicit(seg0, seg1, vh, a0 * bs)
+        bs = (b - a)[..., 0] * scale  # [G, K]
+        Jblk = Jblk + deposit_J_implicit(seg0, seg1, vh, bs)
+    return Jblk
+
+
+@partial(jax.jit, static_argnames=("geom", "qm", "a0", "kc"))
+def _form_species(E_hk, B, st: BinnedState, geom: Geometry,
+                  qm: float, a0: float, kc: int = 0):
+    """One species' contribution to J(E_hk) plus its updated state.
+
+    ``st`` is the start-of-step binned state (the ``previous_storage``
+    analog, eccapfim/particles.h:28-30) — it stays fixed across residual
+    evaluations; only the returned candidate state moves.
+
+    ``kc > 0`` enables the crosser-compaction fast path (module
+    docstring at ``_FIM_FAST``): probable face-crossers are moved to the
+    first ``kc`` slot columns of their own cell row and only they pay
+    the 4-segment path; the returned ``fallback`` count is non-zero iff
+    a row held more crossers than ``kc`` or the conservative classifier
+    missed one (checked exactly every Picard iterate), in which case the
+    caller redoes the step on the general path.
+    """
+    t0 = cell_t(geom, st.r)
+    p0, valid = st.p, st.valid
+    fast = 0 < kc < t0.shape[1]
+    fallback = jnp.zeros((), jnp.int32)
+    d_steps = jnp.asarray(geom.cell_steps, dtype=E_hk.dtype)
+
+    Eblk = gather_window_blocks(E_hk, geom)
+    Bblk = gather_window_blocks(B, geom)
+
+    rest = None
+    if fast:
+        # Conservative per-particle crosser classification.
+        # Displacement estimate from the start-of-step velocity; the
+        # margin bounds how far any Picard iterate's midpoint velocity
+        # can drift from it — |vh - p0| <= dt/2 |qm| (|E| + |vh||B|) at
+        # the particle's own location, taken from the zero-displacement
+        # field gather (which the sweep needs anyway) with a 2x cushion
+        # for field variation along the path.  A global-field-max bound
+        # was measured uselessly loose (it classified ~1/3 of all
+        # particles once the instability fields grew, overflowing kc
+        # every step); the exact per-iterate post-check stays the
+        # authority either way.
+        E_p0, B_p0 = _rest_fields(Eblk, Bblk, t0)
+        e_loc = jnp.linalg.norm(E_p0, axis=-1)
+        b_loc = jnp.linalg.norm(B_p0, axis=-1)
+        p_loc = jnp.linalg.norm(p0, axis=-1)
+        dv = (abs(qm) * geom.dt) * (e_loc + p_loc * b_loc)  # [G, K]
+        d_est = p0 * (geom.dt / d_steps)
+        marg = (dv[..., None] * geom.dt) / d_steps + 2e-3
+        r0 = jnp.round(t0)
+        hi = jnp.round(t0 + (jnp.maximum(d_est, 0.0) + marg)) != r0
+        lo = jnp.round(t0 - (jnp.maximum(-d_est, 0.0) + marg)) != r0
+        pred = jnp.any(hi | lo, axis=-1) & valid
+        counts = jnp.sum(pred, axis=1, dtype=jnp.int32)
+        fallback = (jnp.max(counts) > kc).astype(jnp.int32)
+        # Stable in-row partition: crossers first (key 0 < key 1).
+        order = jnp.argsort(
+            jnp.logical_not(pred).astype(jnp.int32), axis=1, stable=True
+        )
+        t0 = jnp.take_along_axis(t0, order[..., None], axis=1)
+        p0 = jnp.take_along_axis(p0, order[..., None], axis=1)
+        valid = jnp.take_along_axis(valid, order, axis=1)
+        rest = (jnp.take_along_axis(E_p0, order[..., None], axis=1),
+                jnp.take_along_axis(B_p0, order[..., None], axis=1))
+
+    tn, pn, vh, iters, nonconv, nviol = _cn_sweep(
+        Eblk, Bblk, t0, p0, valid, geom.dt, qm, d_steps,
+        kc if fast else 0, rest,
+    )
+
+    # Deposit the path-averaged current of the *converged* move.
+    valid_f = valid.astype(E_hk.dtype)
+    if fast:
+        Jblk = _segment_deposit(t0[:, :kc], tn[:, :kc], vh[:, :kc],
+                                a0 * valid_f[:, :kc])
+        Jblk = Jblk + deposit_J_implicit(t0[:, kc:], tn[:, kc:],
+                                         vh[:, kc:], a0 * valid_f[:, kc:])
+        fallback = fallback + nviol
+    else:
+        Jblk = _segment_deposit(t0, tn, vh, a0 * valid_f)
     J = scatter_blocks(Jblk, geom)
 
     # Candidate state (committed after the nonlinear solve converges):
     # tn/t0 are cell-relative, absolute grid-units = st.r + (tn - t0).
-    r_new_g = st.r + (tn - t0)
+    if fast:
+        # Undo the in-row partition so slot order matches the input
+        # state (backup files and per-slot diagnostics see stable slots).
+        inv = jnp.argsort(order, axis=1)
+        r_perm = jnp.take_along_axis(st.r, order[..., None], axis=1)
+        r_new_g = jnp.take_along_axis(r_perm + (tn - t0),
+                                      inv[..., None], axis=1)
+        pn = jnp.take_along_axis(pn, inv[..., None], axis=1)
+    else:
+        r_new_g = st.r + (tn - t0)
     avg_it = jnp.asarray(iters, E_hk.dtype)
     # Fast-particle guard: the 4-segment path split (split_segments)
     # handles at most one face crossing per axis; a per-axis move >= 1
@@ -270,9 +400,9 @@ def _form_species(E_hk, B, st: BinnedState, geom: Geometry,
     # the violation is surfaced as a flagged error, like solver
     # non-convergence.
     max_disp = jnp.max(
-        jnp.where(st.valid[..., None], jnp.abs(tn - t0), 0.0)
+        jnp.where(valid[..., None], jnp.abs(tn - t0), 0.0)
     )
-    return J, r_new_g, pn, avg_it, jnp.sum(nonconv), max_disp
+    return J, r_new_g, pn, avg_it, jnp.sum(nonconv), max_disp, fallback
 
 
 @partial(jax.jit, static_argnames=("geom", "mesh"), donate_argnums=(0,))
@@ -297,7 +427,7 @@ class EccapfimSimulation(Simulation):
 
         self.diagnostics.append(ConvergenceHistory(self))
 
-    def _fused_residual(self):
+    def _fused_residual(self, fast: bool = False):
         """Build (once) the fully fused preconditioned-residual jit.
 
         One device dispatch evaluates every species' Crank-Nicolson
@@ -318,7 +448,10 @@ class EccapfimSimulation(Simulation):
         of the reference's NGMRES+EW inner solves
         (eccapfim/simulation.cpp:358-392).
         """
-        fn = getattr(self, "_fused_residual_fn", None)
+        cache = getattr(self, "_fused_residual_cache", None)
+        if cache is None:
+            cache = self._fused_residual_cache = {}
+        fn = cache.get(fast)
         if fn is not None:
             return fn
         import math
@@ -344,9 +477,12 @@ class EccapfimSimulation(Simulation):
             pend, its = [], []
             max_disp = jnp.zeros((), E.dtype)
             nonconv = jnp.zeros((), jnp.int32)
+            fb = jnp.zeros((), jnp.int32)
             for st, (qm, a0) in zip(states, params):
-                J_s, r_new_g, pn, avg_it, nc, md = _form_species(
-                    E_hk, B, st, geom, qm, a0)
+                kc = _pick_kc(st.p.shape[1]) if fast else 0
+                J_s, r_new_g, pn, avg_it, nc, md, fb_s = _form_species(
+                    E_hk, B, st, geom, qm, a0, kc)
+                fb = fb + fb_s
                 J = J + J_s
                 # Keep the per-species current: the reference stores J
                 # per species (src/interfaces/particles.h:20) and the
@@ -366,39 +502,33 @@ class EccapfimSimulation(Simulation):
             )
             G = 2.0 * P(F, 0.0)
             return G, (J, tuple(pend), jnp.stack(its) if its else
-                       jnp.zeros(0), max_disp, nonconv)
+                       jnp.zeros(0), max_disp, nonconv, fb)
 
         lam_cc = 4.0 * (1.0 / geom.dx**2 + 1.0 / geom.dy**2
                         + 1.0 / geom.dz**2)
-        self._fused_residual_fn = (fused, 1.0 + 0.25 * geom.dt**2 * lam_cc)
-        return self._fused_residual_fn
+        cache[fast] = (fused, 1.0 + 0.25 * geom.dt**2 * lam_cc)
+        return cache[fast]
 
-    def timestep_implementation(self, t: int) -> None:
-        geom = self.geom
-        t0 = time.perf_counter()
+    def _solve_once(self, states, atol, rtol, fast: bool):
+        """One nonlinear solve plus ONE fused device->host stats fetch.
 
-        # init_iteration: guess E^{n+1/2,0} = E^n
-        # (eccapfim/simulation.cpp:46-66).
-        fused, bound = self._fused_residual()
-        states = tuple(sp.state for sp in self.species if sp.n > 0)
+        Returns a dict of host scalars (solver state, CN stats, the
+        fast-path guard) and the device-side per-species byproducts.
+        """
         sim = self
+        fused, _ = self._fused_residual(fast)
+        fb_box = [jnp.zeros((), jnp.int32)]
 
         def G(x):
             g, out = fused(x, sim.E, sim.B, states)
             sim._last_out = out  # device-side; synced after the solve
+            # Lazily accumulate the fast-path guard over EVERY
+            # evaluation — a contaminated mid-solve iterate must
+            # trigger the general-path redo even if the final one is
+            # clean (its contribution reached the Anderson window).
+            fb_box[0] = jnp.maximum(fb_box[0], out[5])
             return g
 
-        if self.E.dtype == jnp.float64:
-            atol = rtol = ATOL / bound
-        else:
-            import math as _math
-
-            # RMS-scaled absolute floor only; the relative target stays
-            # at the documented RTOL so a step with initial residual
-            # r0 > 1 does not converge to a looser-than-RMS threshold
-            # (advisor r4 finding).
-            atol = ATOL_F32 * _math.sqrt(self.E.size) / bound
-            rtol = RTOL / bound
         if _ANDERSON_MODE == "host":
             result = anderson_solve(
                 G, self.E, atol=atol, rtol=rtol, maxit=MAXIT, m=10,
@@ -416,17 +546,18 @@ class EccapfimSimulation(Simulation):
             )
             aux = res.aux
             res_x = res.x
-        J_last, pend, its, max_disp_d, nonconv_d = aux
-        self._J_last = J_last
+        J_last, pend, its, max_disp_d, nonconv_d, fb_last = aux
         # Flagged-error surfacing for the committed (last) particle sweep:
         # per-axis displacement must stay below one cell for the 4-segment
         # split to be exact, and every particle's CN Picard iteration must
         # have converged (the reference aborts on both,
         # cell_traversal.cpp / crank_nicolson_push.cpp:69-70).  ONE fused
         # fetch brings back every scalar the host needs — the CN stats,
-        # the solver state, and the convergence history.
+        # the solver state, the fast-path guard, and the convergence
+        # history.
         ftype = (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-        head = [max_disp_d.astype(ftype), nonconv_d.astype(ftype)]
+        head = [max_disp_d.astype(ftype), nonconv_d.astype(ftype),
+                jnp.maximum(fb_box[0], fb_last).astype(ftype)]
         if _ANDERSON_MODE != "host":
             head += [res.iterations.astype(ftype),
                      res.residual_norm.astype(ftype),
@@ -435,20 +566,70 @@ class EccapfimSimulation(Simulation):
         if _ANDERSON_MODE != "host":
             parts.append(res.history.astype(ftype))
         stats = np.asarray(jnp.concatenate(parts))
-        max_disp, nonconv = float(stats[0]), int(stats[1])
         n_live = sum(1 for s in self.species if s.n > 0)
         if _ANDERSON_MODE != "host":
-            res_it = int(stats[2])
-            res_rnorm = float(stats[3])
-            res_conv = bool(stats[4])
-            sp_its = stats[5:5 + n_live]
-            conv_hist = list(stats[5 + n_live:5 + n_live + res_it + 1])
+            res_it = int(stats[3])
+            res_rnorm = float(stats[4])
+            res_conv = bool(stats[5])
+            sp_its = stats[6:6 + n_live]
+            conv_hist = list(stats[6 + n_live:6 + n_live + res_it + 1])
         else:
-            sp_its = stats[2:2 + n_live]
+            sp_its = stats[3:3 + n_live]
+        return {
+            "x": res_x, "history": conv_hist, "iterations": res_it,
+            "residual_norm": res_rnorm, "converged": res_conv,
+            "J": J_last, "pend": pend, "sp_its": sp_its,
+            "max_disp": float(stats[0]), "nonconv": int(stats[1]),
+            "fallback": int(stats[2]),
+        }
+
+    def timestep_implementation(self, t: int) -> None:
+        geom = self.geom
+        t0 = time.perf_counter()
+
+        # init_iteration: guess E^{n+1/2,0} = E^n
+        # (eccapfim/simulation.cpp:46-66).
+        _, bound = self._fused_residual(False)
+        states = tuple(sp.state for sp in self.species if sp.n > 0)
+
+        if self.E.dtype == jnp.float64:
+            atol = rtol = ATOL / bound
+        else:
+            import math as _math
+
+            # RMS-scaled absolute floor only; the relative target stays
+            # at the documented RTOL so a step with initial residual
+            # r0 > 1 does not converge to a looser-than-RMS threshold
+            # (advisor r4 finding).
+            atol = ATOL_F32 * _math.sqrt(self.E.size) / bound
+            rtol = RTOL / bound
+        fast = _FIM_FAST and _ANDERSON_MODE == "host"
+        out = self._solve_once(states, atol, rtol, fast)
+        if fast and out["fallback"]:
+            # The conservative crosser classifier missed a particle or
+            # a cell row overflowed the kc crosser columns: the solve
+            # is untrusted — redo the whole step on the exact general
+            # path (the solve mutated nothing yet, it is pure in
+            # (E, B, states)).
+            log.info(
+                "  eccapfim fast path flagged %d misclassified/overflow "
+                "particles at t=%d; redoing the step on the general "
+                "4-segment path", out["fallback"], t,
+            )
+            self._fallback_steps = getattr(self, "_fallback_steps", 0) + 1
+            out = self._solve_once(states, atol, rtol, False)
+
+        res_x = out["x"]
+        res_it = out["iterations"]
+        res_rnorm = out["residual_norm"]
+        res_conv = out["converged"]
+        pend = out["pend"]
+        max_disp, nonconv = out["max_disp"], out["nonconv"]
+        self._J_last = out["J"]
         for sp, it_count in zip(
-                (s for s in self.species if s.n > 0), sp_its):
+                (s for s in self.species if s.n > 0), out["sp_its"]):
             sp.cn_iterations = float(it_count)
-        self.conv_history = conv_hist
+        self.conv_history = out["history"]
         self.phase_timings["calc_iteration"] = time.perf_counter() - t0
         if max_disp >= 1.0:
             raise RuntimeError(
